@@ -1,0 +1,78 @@
+"""Model selection and initialization (reference init_util.py:44-71).
+
+Differences from the reference, by design:
+  - Weight init uses an explicit `jax.random` key derived from
+    ``opt.weights_seed`` (instead of mutating torch's global RNG around the
+    ctor, init_util.py:63-68), so run RNG and weight RNG are independent by
+    construction.
+  - Returns (module, variables) pairs; variables separate "params" from
+    "batch_stats" (G's BatchNorm running stats when bn is on).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from csl_gan_tpu.models import dcresnet, mnist
+from csl_gan_tpu.options import opt_get
+
+
+def model_classes(opt):
+    """Resolve (G_ctor, D_ctor) for opt.dataset/opt.model (init_util.py:49-61)."""
+    if opt.dataset == "MNIST":
+        if opt.model == "DeepConvResNet":
+            return dcresnet.mnist_dcrn_g, dcresnet.mnist_dcrn_d
+        if opt.model == "Vanilla":
+            return (lambda **kw: mnist.MNISTVanillaG(**kw),
+                    lambda **kw: mnist.MNISTVanillaD(**kw))
+    elif opt.dataset == "CelebA":
+        if opt.model == "DeepConvResNet":
+            if opt.im_size == 48:
+                return dcresnet.celeba_g48, dcresnet.celeba_d48
+            return dcresnet.celeba_g64, dcresnet.celeba_d64
+        if opt.model == "Vanilla":
+            raise Exception("No vanilla architecture for CelebA.")
+    raise Exception(f"Unknown dataset/model: {opt.dataset}/{opt.model}")
+
+
+def _image_shape(opt):
+    if opt.dataset == "MNIST":
+        return (28, 28, 1)
+    return (opt.im_size, opt.im_size, 3)
+
+
+def init_models(opt, init_G: bool = True, init_D: bool = True):
+    """Build (G, G_vars), (D, D_vars) per config.
+
+    Mirrors init_util.py:44-71: ``n_classes = opt.n_classes if conditional
+    else 0``, and ``bn = not per_sample_grad`` — BatchNorm is swapped for
+    GroupNorm when per-sample gradients are required (applies to G; D has no
+    norm layers in either family).
+    """
+    n_classes = opt.n_classes if opt.conditional else 0
+    bn = not opt_get(opt, "per_sample_grad", False)
+    g_ctor, d_ctor = model_classes(opt)
+
+    key = jax.random.PRNGKey(opt.weights_seed)
+    g_key, d_key = jax.random.split(key)
+
+    G = G_vars = D = D_vars = None
+    if init_G:
+        G = g_ctor(z_dim=opt.g_latent_dim, bn=bn, n_classes=n_classes,
+                   emb_mode=opt.g_label_emb_mode)
+        z = jnp.zeros((1, opt.g_latent_dim), jnp.float32)
+        y = jnp.zeros((1,), jnp.int32) if n_classes > 0 else None
+        G_vars = G.init(g_key, z, y, train=True)
+    if init_D:
+        D = d_ctor(n_classes=n_classes, emb_mode=opt.d_label_emb_mode,
+                   conditional_arch=opt.conditional_arch,
+                   aux_loss_type=opt.aux_loss_type,
+                   aux_loss_scalar=opt.aux_loss_scalar)
+        x = jnp.zeros((1,) + _image_shape(opt), jnp.float32)
+        y = jnp.zeros((1,), jnp.int32) if n_classes > 0 else None
+        D_vars = D.init(d_key, x, y)
+
+    return (G, G_vars), (D, D_vars)

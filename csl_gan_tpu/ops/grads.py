@@ -1,0 +1,174 @@
+"""Per-sample gradient computation, clipping, and noising.
+
+TPU-native replacement for the Opacus backward-hook machinery the reference
+depends on (train.py:372-402 and the twosixlabs fork's clipper; contract in
+SURVEY.md §2.1):
+
+  - `p.grad_sample` materialization  ->  jax.vmap(jax.grad(per_sample_loss)),
+    optionally chunked with lax.scan so per-sample-grad memory is bounded by
+    chunk_size x params instead of batch x params (SURVEY.md §5.7).
+  - `privacy_engine.clip()`          ->  clipped_grad_sum: per-sample L2 norms
+    (flat or per-layer), clip factors min(1, C/norm), and the *weighted sum*
+    are fused into one jitted computation — the clipped per-sample grads are
+    never materialized; only a [batch] weight vector contracts against the
+    per-sample grad tree.
+  - noise addition at optimizer.step() -> add_gaussian_noise with std
+    sigma*C (flat) or sigma*C_l per layer, which keeps the effective noise
+    multiplier exactly sigma in both modes.
+
+Everything here is pure and jit/pjit-safe; batch axes may be sharded over a
+mesh, in which case the sums become XLA psums automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+Pytree = Any
+
+
+class ClipStats(NamedTuple):
+    """Per-layer per-sample-norm statistics for logging (train.py:310-329)."""
+    norm_mean: jnp.ndarray   # [n_layers]
+    norm_std: jnp.ndarray    # [n_layers]
+    norm_max: jnp.ndarray    # [n_layers]
+    frac_clipped: jnp.ndarray  # [n_layers] fraction of samples with factor < 0.999
+
+
+def _leaf_norms(grads_ps: Pytree) -> jnp.ndarray:
+    """Per-sample L2 norm of each leaf: returns [n_leaves, batch]."""
+    leaves = jax.tree_util.tree_leaves(grads_ps)
+    return jnp.stack([
+        jnp.sqrt(jnp.sum(jnp.reshape(g, (g.shape[0], -1)) ** 2, axis=1))
+        for g in leaves
+    ])
+
+
+def clip_factors(leaf_norms: jnp.ndarray, max_norm: Union[float, Sequence[float]],
+                 per_layer: bool) -> jnp.ndarray:
+    """Clipping factors per (layer, sample), shape [n_leaves, batch].
+
+    Flat mode: one global norm per sample; the same factor for every layer.
+    Per-layer: each layer clipped independently to its own threshold
+    (Opacus norm_clipper semantics, SURVEY.md §2.1).
+    """
+    if per_layer:
+        thresholds = jnp.asarray(max_norm, jnp.float32)[:, None]  # [n_leaves, 1]
+        return jnp.minimum(1.0, thresholds / (leaf_norms + 1e-12))
+    flat = jnp.sqrt(jnp.sum(leaf_norms ** 2, axis=0, keepdims=True))  # [1, batch]
+    factor = jnp.minimum(1.0, jnp.asarray(max_norm, jnp.float32) / (flat + 1e-12))
+    return jnp.broadcast_to(factor, leaf_norms.shape)
+
+
+def _weighted_sum(grads_ps: Pytree, factors: jnp.ndarray) -> Pytree:
+    """sum_i factors[l, i] * grads_ps[l][i] without materializing clipped grads."""
+    leaves, treedef = jax.tree_util.tree_flatten(grads_ps)
+    out = []
+    for idx, g in enumerate(leaves):
+        w = factors[idx].reshape((g.shape[0],) + (1,) * (g.ndim - 1))
+        out.append(jnp.sum(g * w, axis=0))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _stats_from_norms(leaf_norms: jnp.ndarray, factors: jnp.ndarray) -> ClipStats:
+    return ClipStats(
+        norm_mean=jnp.mean(leaf_norms, axis=1),
+        norm_std=jnp.std(leaf_norms, axis=1),
+        norm_max=jnp.max(leaf_norms, axis=1),
+        frac_clipped=jnp.mean((factors < 0.999).astype(jnp.float32), axis=1),
+    )
+
+
+def per_sample_grads(loss_fn: Callable, params: Pytree, *batch,
+                     chunk: Optional[int] = None) -> Pytree:
+    """Materialized per-sample grads: tree with a leading [batch] axis.
+
+    loss_fn(params, *example) must return the scalar per-sample loss. Used by
+    the tm/sv engines and as the reference implementation the fused paths are
+    tested against.
+    """
+    gfn = jax.vmap(jax.grad(loss_fn), in_axes=(None,) + (0,) * len(batch))
+    if chunk is None:
+        return gfn(params, *batch)
+    n = batch[0].shape[0]
+    assert n % chunk == 0, "batch must divide by per_sample_chunk"
+    chunked = [jnp.reshape(b, (n // chunk, chunk) + b.shape[1:]) for b in batch]
+
+    def body(_, bc):
+        return None, gfn(params, *bc)
+
+    _, stacked = jax.lax.scan(body, None, tuple(chunked))
+    return jax.tree.map(lambda g: jnp.reshape(g, (n,) + g.shape[2:]), stacked)
+
+
+def clipped_grad_sum(loss_fn: Callable, params: Pytree, *batch,
+                     max_norm: Union[float, Sequence[float]],
+                     per_layer: bool = False,
+                     chunk: Optional[int] = None) -> Tuple[Pytree, ClipStats]:
+    """Sum over samples of per-sample-clipped gradients, plus norm statistics.
+
+    Equivalent of Opacus `clip()` + the grad-norm logging pass
+    (train.py:396-399) in one fused computation. With `chunk` set, runs a
+    lax.scan over batch chunks, so peak memory is chunk x params.
+    """
+
+    def one_chunk(batch_chunk):
+        g_ps = jax.vmap(jax.grad(loss_fn), in_axes=(None,) + (0,) * len(batch_chunk))(
+            params, *batch_chunk)
+        norms = _leaf_norms(g_ps)
+        factors = clip_factors(norms, max_norm, per_layer)
+        return _weighted_sum(g_ps, factors), norms, factors
+
+    if chunk is None:
+        summed, norms, factors = one_chunk(batch)
+        return summed, _stats_from_norms(norms, factors)
+
+    n = batch[0].shape[0]
+    assert n % chunk == 0, "batch must divide by per_sample_chunk"
+    chunked = tuple(jnp.reshape(b, (n // chunk, chunk) + b.shape[1:]) for b in batch)
+    zero = jax.tree.map(jnp.zeros_like, params)
+
+    def body(acc, bc):
+        s, norms, factors = one_chunk(bc)
+        return jax.tree.map(jnp.add, acc, s), (norms, factors)
+
+    summed, (norms_all, factors_all) = jax.lax.scan(body, zero, chunked)
+    # [n_chunks, n_leaves, chunk] -> [n_leaves, batch]
+    norms = jnp.reshape(jnp.transpose(norms_all, (1, 0, 2)), (norms_all.shape[1], n))
+    factors = jnp.reshape(jnp.transpose(factors_all, (1, 0, 2)), (factors_all.shape[1], n))
+    return summed, _stats_from_norms(norms, factors)
+
+
+def add_gaussian_noise(key: jax.Array, tree: Pytree, sigma: float,
+                       max_norm: Union[float, Sequence[float]],
+                       per_layer: bool = False) -> Pytree:
+    """Add N(0, (sigma*C)^2) noise per parameter (std sigma*C_l in per-layer
+    mode), the Opacus noise-at-step semantics (SURVEY.md §2.1)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    # max_norm may be a traced value (adaptive clipping updates C on-device,
+    # train.py:204-245), so stay in jnp ops.
+    if per_layer:
+        stds = jnp.asarray(max_norm, jnp.float32) * sigma          # [n_leaves]
+    else:
+        stds = jnp.broadcast_to(jnp.asarray(max_norm, jnp.float32) * sigma,
+                                (len(leaves),))
+    noised = [
+        g + stds[i] * jax.random.normal(k, g.shape, g.dtype)
+        for i, (g, k) in enumerate(zip(leaves, keys))
+    ]
+    return jax.tree_util.tree_unflatten(treedef, noised)
+
+
+def global_norm(tree: Pytree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
+
+
+def per_leaf_norms(tree: Pytree) -> jnp.ndarray:
+    """L2 norm of each leaf -> [n_leaves]."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.stack([jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2)) for g in leaves])

@@ -1,0 +1,153 @@
+"""Model layer tests: shapes, param counts vs the reference architectures,
+conditioning variants, loss functions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csl_gan_tpu import options
+from csl_gan_tpu.models import losses
+from csl_gan_tpu.models.registry import init_models
+
+
+def parse(tmp_path, *argv):
+    return options.parse(list(argv) + ["-o", str(tmp_path / "o"), "--manual_seed", "3"])
+
+
+def n_params(variables):
+    return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+
+
+def test_mnist_vanilla_shapes_and_counts(tmp_path):
+    opt = parse(tmp_path, "MNIST", "--conditional")
+    (G, Gv), (D, Dv) = init_models(opt)
+    z = jnp.ones((4, 100))
+    y = jnp.arange(4, dtype=jnp.int32) % 10
+    img = G.apply(Gv, z, y)
+    assert img.shape == (4, 28, 28, 1)
+    assert float(img.min()) >= 0 and float(img.max()) <= 1  # sigmoid output
+    out, aux = D.apply(Dv, img, y)
+    assert out.shape == (4, 1) and aux.shape == (4, 10)
+    # Exact reference parameter counts (MNIST_models.py:14-15, 36-39):
+    assert n_params(Gv) == (110 * 128 + 128) + (128 * 784 + 784)
+    assert n_params(Dv) == (794 * 128 + 128) + (128 + 1) + (128 * 10 + 10)
+
+
+def test_mnist_unconditional(tmp_path):
+    opt = parse(tmp_path, "MNIST")
+    (G, Gv), (D, Dv) = init_models(opt)
+    img = G.apply(Gv, jnp.ones((2, 100)), None)
+    out, aux = D.apply(Dv, img, None)
+    assert out.shape == (2, 1) and aux is None
+    assert n_params(Gv) == (100 * 128 + 128) + (128 * 784 + 784)
+
+
+def test_celeba_d64_param_count(tmp_path):
+    # CGAN concat: D input channels = 3 + n_classes (DCResNet_models.py:114).
+    opt = parse(tmp_path, "CelebA", "--conditional", "--conditional_arch", "CGAN")
+    (G, Gv), (D, Dv) = init_models(opt)
+    want = (5 * 64 * 25 + 64) + (64 * 128 * 25 + 128) + (128 * 256 * 25 + 256) \
+        + (256 * 512 * 25 + 512) + 512 * 16
+    assert n_params(Dv) == want == 4317952
+
+
+def test_acgan_d_ignores_input_labels(tmp_path):
+    # ACGAN nulls emb_mode for D (models.py:36-37) -> y must not change D out.
+    opt = parse(tmp_path, "CelebA", "--conditional", "--conditional_arch", "ACGAN",
+                "--im_size", "48")
+    (_, _), (D, Dv) = init_models(opt)
+    x = jnp.ones((2, 48, 48, 3))
+    o1, a1 = D.apply(Dv, x, jnp.zeros((2,), jnp.int32))
+    o2, a2 = D.apply(Dv, x, jnp.ones((2,), jnp.int32))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+    assert a1.shape == (2, 2)
+
+
+def test_wcgan_head_select(tmp_path):
+    opt = parse(tmp_path, "CelebA", "--conditional", "--conditional_arch", "WCGAN",
+                "--im_size", "48")
+    (_, _), (D, Dv) = init_models(opt)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 48, 48, 3))
+    y = jnp.array([0, 1, 0], jnp.int32)
+    out, aux = D.apply(Dv, x, y)
+    # out must equal the label-selected aux column (DCResNet_models.py:141-143)
+    want = jnp.take_along_axis(aux, y[:, None], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
+
+
+def test_g_batchstats_only_when_bn(tmp_path):
+    # bn = not per_sample_grad (init_util.py:46).
+    opt_bn = parse(tmp_path, "CelebA", "--im_size", "48")
+    (G, Gv), _ = init_models(opt_bn, init_D=False)
+    assert "batch_stats" in Gv
+    opt_gn = parse(tmp_path, "CelebA", "--im_size", "48", "-dpm", "gc", "-nms", "1")
+    (G2, Gv2), _ = init_models(opt_gn, init_D=False)
+    assert "batch_stats" not in Gv2
+
+
+def test_dcresnet_g_output_range(tmp_path):
+    opt = parse(tmp_path, "CelebA", "--im_size", "48")
+    (G, Gv), _ = init_models(opt, init_D=False)
+    img, _ = G.apply(Gv, jax.random.normal(jax.random.PRNGKey(1), (2, 128)), None,
+                     train=True, mutable=["batch_stats"])
+    assert img.shape == (2, 48, 48, 3)
+    assert float(img.min()) >= -1 and float(img.max()) <= 1  # tanh output
+
+
+def test_torch_default_init_distribution(tmp_path):
+    # Weights ~ U(+-1/sqrt(fan_in)) like torch defaults.
+    opt = parse(tmp_path, "MNIST")
+    (G, Gv), _ = init_models(opt, init_D=False)
+    w = np.asarray(Gv["params"]["TorchDense_0"]["kernel"])
+    bound = 1 / np.sqrt(100)
+    assert w.min() >= -bound and w.max() <= bound
+    assert abs(w.mean()) < bound / 10
+
+
+# --- losses ---
+
+def test_bce_matches_manual():
+    logits = jnp.array([[0.3], [-1.2], [2.0]])
+    t = jnp.ones_like(logits)
+    got = losses.bce_with_logits(logits, t)
+    want = float(np.mean(-np.log(1 / (1 + np.exp(-np.asarray(logits))))))
+    assert float(got) == pytest.approx(want, rel=1e-6)
+
+
+def test_per_sample_losses_sum_to_mean():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (8, 1))
+    for fam in ["vanilla", "wgan"]:
+        for fn in [losses.d_real_loss, losses.d_fake_loss, losses.g_adv_loss]:
+            ps = fn(fam, logits, reduction="none")
+            assert ps.shape == (8,)
+            assert float(jnp.mean(ps)) == pytest.approx(float(fn(fam, logits)), rel=1e-6)
+
+
+def test_wgan_loss_signs():
+    good = jnp.ones((4, 1)) * 3.0
+    assert float(losses.d_real_loss("wgan", good)) == -3.0
+    assert float(losses.d_fake_loss("wgan", good)) == 3.0
+    assert float(losses.g_adv_loss("wgan", good)) == -3.0
+
+
+def test_aux_ce_matches_manual():
+    logits = jax.random.normal(jax.random.PRNGKey(2), (6, 10))
+    labels = jnp.arange(6, dtype=jnp.int32)
+    got = losses.aux_loss("ACGAN", "cross_entropy", 2.0, logits, labels, 10)
+    lp = jax.nn.log_softmax(logits)
+    want = -2.0 * float(jnp.mean(lp[jnp.arange(6), labels]))
+    assert float(got) == pytest.approx(want, rel=1e-6)
+
+
+def test_aux_wasserstein_per_sample_sums_to_total():
+    logits = jax.random.normal(jax.random.PRNGKey(3), (6, 2))
+    labels = jnp.array([0, 1, 0, 0, 1, 1], jnp.int32)
+    total = losses.aux_loss("ACGAN", "wasserstein", 1.0, logits, labels, 2)
+    ps = losses.aux_loss("ACGAN", "wasserstein", 1.0, logits, labels, 2, reduction="none")
+    assert float(jnp.sum(ps)) == pytest.approx(float(total), rel=1e-5)
+
+
+def test_wcgan_aux_loss_zero():
+    labels = jnp.zeros((4,), jnp.int32)
+    assert float(losses.aux_loss("WCGAN", "wasserstein", 1.0, jnp.ones((4, 2)), labels, 2)) == 0.0
