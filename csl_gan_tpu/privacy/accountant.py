@@ -48,6 +48,7 @@ class RdpAccountant:
     # --- checkpoint plumbing (fixes reference resume epsilon undercount) ---
     def state_dict(self) -> dict:
         return {
+            "kind": "rdp",
             "batch_size": self.batch_size,
             "sample_size": self.sample_size,
             "noise_multiplier": self.noise_multiplier,
@@ -57,4 +58,48 @@ class RdpAccountant:
 
     @classmethod
     def from_state_dict(cls, state: dict) -> "RdpAccountant":
+        state = {k: v for k, v in state.items() if k != "kind"}
         return cls(**state)
+
+
+@dataclass
+class ZcdpAccountant:
+    """zCDP accounting for the tm/sv engines' per-epoch rho budget
+    (reference train.py:126,132 `rho_per_epoch`): total rho = steps *
+    rho_per_step, converted via eps = rho + 2*sqrt(rho*ln(1/delta))."""
+
+    rho_per_step: float
+    steps: float = 0.0
+
+    def step(self, n: int = 1) -> None:
+        self.steps += n
+
+    def get_privacy_spent(self, delta: float) -> Tuple[float, float]:
+        import math
+        rho = self.rho_per_step * self.steps
+        if rho == 0:
+            return 0.0, 0.0
+        eps = rho + 2.0 * math.sqrt(rho * math.log(1.0 / delta))
+        return eps, rho  # second slot: the rho spent (no alpha here)
+
+    def state_dict(self) -> dict:
+        return {"kind": "zcdp", "rho_per_step": self.rho_per_step, "steps": self.steps}
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "ZcdpAccountant":
+        return cls(rho_per_step=state["rho_per_step"], steps=state["steps"])
+
+
+def accountant_from_state_dict(state: dict):
+    if state.get("kind") == "zcdp":
+        return ZcdpAccountant.from_state_dict(state)
+    return RdpAccountant.from_state_dict(state)
+
+
+def make_accountant(opt):
+    """The accountant for a config (model-free; budget_analysis.py:24-33)."""
+    if opt.dp_mode in ("tm", "sv"):
+        steps_per_epoch = max(1, opt.train_set_size // opt.batch_size)
+        return ZcdpAccountant(rho_per_step=opt.tm_rho_per_epoch / steps_per_epoch)
+    return RdpAccountant(batch_size=opt.batch_size, sample_size=opt.train_set_size,
+                         noise_multiplier=opt.sigma)

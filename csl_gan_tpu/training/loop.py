@@ -1,0 +1,378 @@
+"""Training orchestration: the host-side loop around the jitted steps.
+
+Equivalent of the reference train.py script body (train.py:30-603): setup,
+warmup on public/mean data, the epoch/batch loop with n_d_steps and
+train-D-until-threshold gating, interval logging/sampling, per-epoch privacy
+logging with epsilon-budget early stop, and checkpointing.
+
+Perf-relevant differences from the reference (SURVEY.md §7):
+  - all metric accumulation stays on-device and async; the host syncs only at
+    log intervals (the reference `.item()`s every batch, train.py:488-500);
+  - the G->D handoff needs no device copies — one compiled step, one mesh;
+  - `privacy_engine.steps` lives in an explicit accountant that is saved and
+    restored with the D checkpoint (fixes resume undercount, SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import shutil
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csl_gan_tpu import options as options_mod
+from csl_gan_tpu.data import init_data
+from csl_gan_tpu.data.loader import Loader
+from csl_gan_tpu.models.registry import init_models
+from csl_gan_tpu.options import opt_get
+from csl_gan_tpu.parallel import make_mesh
+from csl_gan_tpu.privacy import accountant_from_state_dict, make_accountant
+from csl_gan_tpu.privacy.mean_sampler import MeanSampler
+from csl_gan_tpu.training import checkpoint, param_order
+from csl_gan_tpu.training.logger import build_logger
+from csl_gan_tpu.training.steps import TrainStepBuilder
+from csl_gan_tpu.utils.images import denorm_celeba, save_image_grid
+
+
+def snapshot_code(output_dir: str) -> None:
+    """Copy the framework sources into output_dir/code (train.py:40-44)."""
+    dst = os.path.join(output_dir, "code")
+    os.makedirs(dst, exist_ok=True)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(pkg_root)
+    for f in glob.glob(os.path.join(repo_root, "*.py")):
+        shutil.copy2(f, dst)
+    pkg_dst = os.path.join(dst, "csl_gan_tpu")
+    if os.path.isdir(pkg_dst):
+        shutil.rmtree(pkg_dst)
+    shutil.copytree(pkg_root, pkg_dst,
+                    ignore=shutil.ignore_patterns("__pycache__"))
+
+
+class Trainer:
+    def __init__(self, opt):
+        self.opt = opt
+        options_mod.save_opt(opt, os.path.join(opt.output_dir, "opt.txt"))
+        if opt.resume_path is None:
+            snapshot_code(opt.output_dir)
+
+        (self.G, G_vars), (self.D, D_vars) = init_models(opt)
+        self.dataset, self.dataloader, self.public_dataset, self.public_dataloader = \
+            init_data(opt)
+
+        # Mean sampler (public surrogate data, train.py:53-73).
+        self.mean_sampler = None
+        self.mean_sample_privacy_cost = 0.0
+        if opt.num_mean_samples > 0:
+            print("Generating mean samples...")
+            n_cls = opt.n_classes if opt.conditional else 1
+            mean_loader = Loader(self.dataset,
+                                 batch_size=opt.mean_sample_size * n_cls,
+                                 shuffle=True, seed=opt.manual_seed + 7)
+            if opt.dataset == "CelebA" and opt.conditional:
+                scs = min(self.dataset.label_true_count,
+                          opt.train_set_size - self.dataset.label_true_count)
+            elif opt.conditional:
+                scs = opt.train_set_size / opt.n_classes
+            else:
+                scs = None
+            im_res = 28 if opt.dataset == "MNIST" else opt.im_size
+            im_ch = 1 if opt.dataset == "MNIST" else 3
+            self.mean_sampler = MeanSampler(
+                dataloader=mean_loader, dataset_size=opt.train_set_size,
+                save_path=os.path.join(opt.output_dir, "mean_samples"),
+                noise_std=opt.mean_sample_noise_std,
+                num_samples=opt.num_mean_samples,
+                mean_size=opt.mean_sample_size,
+                default_batch_size=opt.batch_size,
+                res=im_res, ch=im_ch,
+                n_classes=n_cls if opt.conditional else 1,
+                smallest_class_size=scs, seed=opt.manual_seed + 11)
+            self.mean_sample_privacy_cost, _ = \
+                self.mean_sampler.get_privacy_cost(target_delta=opt.delta)
+            print("Privacy Cost from Mean Samples:", self.mean_sample_privacy_cost)
+
+        label1_prob = 0.5
+        if opt.dataset == "CelebA" and opt.conditional and \
+                self.dataset.label_true_count is not None:
+            label1_prob = self.dataset.label_true_count / opt.train_set_size
+
+        self.builder = TrainStepBuilder(opt, self.G, self.D, label1_prob)
+        self.state = self.builder.init_state(G_vars, D_vars)
+        self.mesh = make_mesh(opt)
+        self._torch_idx = np.asarray(
+            param_order.torch_order_indices(D_vars["params"]))
+
+        self.accountant = make_accountant(opt) if opt.use_dp else None
+        self.start_epoch = 0
+        if opt.resume_path is not None and opt.resume_epochs > 0:
+            gpath = os.path.join(opt.resume_path, "saves", f"G-{opt.resume_epochs}")
+            dpath = os.path.join(opt.resume_path, "saves", f"D-{opt.resume_epochs}")
+            self.state, _ = checkpoint.load_g(gpath, self.state)
+            self.state, _, acc_state = checkpoint.load_d(dpath, self.state)
+            # Resume epoch range = [resume_epochs, n_epochs) (train.py:577).
+            self.start_epoch = opt.resume_epochs
+            if acc_state and opt.use_dp:
+                self.accountant = accountant_from_state_dict(acc_state)
+
+        # Fixed sampling grid (train.py:256-261).
+        self.root_key = jax.random.PRNGKey(opt.manual_seed)
+        k_fz, k_fy = jax.random.split(jax.random.fold_in(self.root_key, 0xF1CED))
+        self.fixed_z = self.builder.gen_z(k_fz, opt.sample_num)
+        if opt.conditional:
+            reps = max(1, opt.sample_num // opt.n_classes)
+            self.fixed_y = jnp.tile(jnp.arange(opt.n_classes, dtype=jnp.int32), reps)
+            self.fixed_z = self.fixed_z[: len(self.fixed_y)]
+        else:
+            self.fixed_y = None
+
+        self.logger = build_logger(
+            opt, os.path.join(opt.output_dir, "log.csv"),
+            write_header=opt.resume_path is None)
+        self.privacy_log = None
+        if opt.use_dp:
+            self.privacy_log = open(os.path.join(opt.output_dir, "privacy_log.csv"), "a")
+            self.privacy_writer = csv.writer(self.privacy_log)
+            if opt.resume_path is None:
+                self.privacy_writer.writerow(["Epoch", "Epsilon"])
+                self.privacy_log.flush()
+
+        self.batches_per_epoch = opt.train_set_size / opt.batch_size
+        self._global_step = 0
+
+    # ---------------- per-batch helpers ----------------
+
+    def _step_key(self):
+        self._global_step += 1
+        return jax.random.fold_in(self.root_key, self._global_step)
+
+    def _penalty_data(self, x, y):
+        """Host-side get_penalty_data (train.py:186-202)."""
+        opt = self.opt
+        if not opt.penalty or not opt.penalty_use_public_data:
+            return x, y
+        b = x.shape[0]
+        if opt.public_set_size > 0:
+            if y is None:
+                px, py = self.public_dataloader.one_batch()
+                return px[:b], None
+            data, labels = zip(*[self.public_dataset.get_item_with_label(int(l))
+                                 for l in np.asarray(y)])
+            return np.stack(data), np.asarray(labels, dtype=np.int64)
+        if opt.num_mean_samples > 0:
+            data, labels = self.mean_sampler.sample(
+                b, requested_labels=None if y is None else np.asarray(y))
+            return data, (labels if y is not None else None)
+        return x, y
+
+    def _adaptive_data(self):
+        """Public/mean batch for adaptive clipping (train.py:204-217)."""
+        opt = self.opt
+        if opt.public_set_size > 0:
+            img, labels = self.public_dataloader.one_batch()
+            return img, (labels if opt.conditional else None)
+        img, labels = self.mean_sampler.sample(opt.batch_size)
+        return img, (labels if opt.conditional else None)
+
+    def _d_step(self, x, y, use_dp: bool):
+        opt = self.opt
+        pen_x, pen_y = (self._penalty_data(x, y) if opt.penalty else (x, y))
+        rng = self._step_key()
+        x = jnp.asarray(x)
+        y = None if y is None else jnp.asarray(y)
+        pen_x = jnp.asarray(pen_x)
+        pen_y = None if pen_y is None else jnp.asarray(pen_y)
+        if use_dp and self.builder.d_step_dp is not None:
+            if opt.dp_mode == "gc":
+                if self.builder.adaptive:
+                    ax, ay = self._adaptive_data()
+                    ax = jnp.asarray(ax)
+                    ay = None if ay is None else jnp.asarray(ay)
+                else:
+                    ax, ay = x, y
+                self.state, m = self.builder.d_step_dp(
+                    self.state, x, y, pen_x, pen_y, ax, ay, rng)
+            else:
+                self.state, m = self.builder.d_step_dp(
+                    self.state, x, y, pen_x, pen_y, rng)
+            if self.accountant is not None:
+                self.accountant.step()
+        else:
+            self.state, m = self.builder.d_step_plain(
+                self.state, x, y, pen_x, pen_y, rng)
+        return m
+
+    def _accumulate_d(self, m):
+        s = self.logger.stats
+        self.logger.d_adv_loss = self.logger.d_adv_loss + m["d_adv_loss"]
+        s["D Adv Loss"] += m["d_adv_loss"]
+        s["D Real Loss"] += m["d_real_loss"]
+        s["D Fake Loss"] += m["d_fake_loss"]
+        s["D Real Acc"] += m["d_real_acc"]
+        s["D Fake Acc"] += m["d_fake_acc"]
+        if "d_real_aux_loss" in m:
+            s["D Real Aux Loss"] += m["d_real_aux_loss"]
+            s["D Real Aux Acc"] += m["d_real_aux_acc"]
+        if "penalty" in m:
+            s["D Penalty"] += m["penalty"]
+        if "norm_mean" in m:
+            s["D Layer Grad Norm Means"] += m["norm_mean"][self._torch_idx]
+            s["D Layer Grad Norm Stds"] += m["norm_std"][self._torch_idx]
+            s["D Layer Grad Norm Maxes"] += m["norm_max"][self._torch_idx]
+            s["Clipping Params"] += m["clipping"][self._torch_idx]
+            s["Grads Clipped"] += m["frac_clipped"][self._torch_idx]
+        if "is_sens" in m:
+            sens = m["is_sens"]
+            interval = self.logger.interval
+            s["IS Mean"] += sens
+            prev_min, prev_max = s["IS Min"], s["IS Max"]
+            if self.opt.imm_sens_per_param:
+                s["IS Min"] = jnp.where(
+                    jnp.asarray(prev_min) <= 1e-8, sens * interval,
+                    jnp.minimum(jnp.asarray(prev_min, jnp.float32), sens * interval))
+                s["IS Max"] = jnp.maximum(jnp.asarray(prev_max, jnp.float32),
+                                          sens * interval)
+            else:
+                pm = jnp.asarray(prev_min, jnp.float32)
+                s["IS Min"] = jnp.minimum(jnp.where(pm < 1e-8, 99999.0, pm),
+                                          sens * interval)
+                s["IS Max"] = jnp.maximum(jnp.asarray(prev_max, jnp.float32),
+                                          sens * interval)
+
+    def _accumulate_g(self, m):
+        s = self.logger.stats
+        s["G Adv Loss"] += m["g_adv_loss"]
+        if "g_aux_loss" in m:
+            s["G Aux Loss"] += m["g_aux_loss"]
+            s["G Aux Acc"] += m["g_aux_acc"]
+
+    # ---------------- public surface ----------------
+
+    def train_batch(self, epoch: int, batch_i: int, x, y, use_dp: bool):
+        """One train() call (train.py:521-546)."""
+        opt = self.opt
+        y = y if opt.conditional else None
+        m = self._d_step(x, y, use_dp)
+        self._accumulate_d(m)
+
+        if batch_i % opt.n_d_steps == 0:
+            train_g = True
+            if opt.train_d_until_threshold < 1e10:
+                d_avg = float(jax.device_get(self.logger.d_adv_loss)) / opt.n_d_steps
+                train_g = d_avg < opt.train_d_until_threshold
+            if train_g:
+                self.logger.log_g_iter += 1
+                self.state, gm = self.builder.g_step(self.state, self._step_key())
+                self._accumulate_g(gm)
+            self.logger.d_adv_loss = 0.0
+
+        if ((batch_i + 1) * opt.batch_size) % opt.log_every == 0:
+            self._flush_log(epoch, 100 * batch_i / self.batches_per_epoch,
+                            print_dp=use_dp)
+        if ((batch_i + 1) * opt.batch_size) % opt.sample_every == 0:
+            self.sample(epoch, batch_i)
+
+    def _flush_log(self, epoch, epoch_progress, print_dp=False):
+        # Rescale G stats by actual G train frequency (train.py:540-543).
+        for stat in [k for k in self.logger.stats if k.startswith("G ")]:
+            scale = 0 if self.logger.log_g_iter == 0 else \
+                self.logger.interval / self.logger.log_g_iter
+            self.logger.stats[stat] = np.asarray(
+                jax.device_get(self.logger.stats[stat])) * scale
+        self.logger.log_g_iter = 0
+        # Pull remaining device stats once.
+        for k, v in self.logger.stats.items():
+            self.logger.stats[k] = np.asarray(jax.device_get(v))
+        self.logger.log(epoch, epoch_progress)
+        if print_dp and self.accountant is not None and self.accountant.steps > 0:
+            eps, best_alpha = self.accountant.get_privacy_spent(self.opt.delta)
+            print("({}, {})-DP for alpha={}".format(eps, self.opt.delta, best_alpha))
+
+    def sample(self, epoch: int, batch: int):
+        imgs = np.asarray(jax.device_get(
+            self.builder.sample_images(self.state, self.fixed_z, self.fixed_y)))
+        if self.opt.dataset == "CelebA":
+            imgs = denorm_celeba(imgs)
+        path = os.path.join(self.opt.output_dir, "samples",
+                            f"{epoch + 1}-{batch}.png")
+        save_image_grid(imgs, path, nrow=self.opt.n_classes)
+
+    def warmup(self):
+        """Non-private warmup on public/mean data (train.py:566-574)."""
+        opt = self.opt
+        for it in range(opt_get(opt, "warmup_iter", 0) or 0):
+            if opt.public_set_size > 0:
+                img, labels = self.public_dataloader.one_batch()
+            else:
+                img, labels = self.mean_sampler.sample(opt.batch_size)
+            self.train_batch(-1, it, img, labels, use_dp=False)
+        if (opt_get(opt, "warmup_iter", 0) or 0) > 0:
+            self.state = self.builder.reset_optimizers(self.state)
+
+    def run(self) -> int:
+        """Full training (train.py:553-603). Returns the last epoch index."""
+        opt = self.opt
+        print("\nStarting training...\n")
+        self.logger.reset_stats()
+        self.warmup()
+
+        profile_ctx = None
+        if opt_get(opt, "profile_training", False):
+            profile_dir = os.path.join(opt.output_dir, "profile")
+            jax.profiler.start_trace(profile_dir)
+            profile_ctx = profile_dir
+
+        epoch = self.start_epoch
+        try:
+            for epoch in range(self.start_epoch, opt.n_epochs):
+                self.logger.reset_stats()
+                batch_i = 0
+                for batch_i, (x, y) in enumerate(self.dataloader):
+                    self.train_batch(epoch, batch_i, x, y, use_dp=opt.use_dp)
+
+                if opt.log_every_epochs > 0 and (epoch + 1) % opt.log_every_epochs == 0:
+                    self._flush_log(epoch, 100)
+                if opt.sample_every_epochs > 0 and \
+                        (epoch + 1) % opt.sample_every_epochs == 0:
+                    self.sample(epoch, batch_i)
+
+                eps = None
+                if opt.use_dp:
+                    eps, _ = self.accountant.get_privacy_spent(opt.delta)
+                    self.privacy_writer.writerow(
+                        [epoch, eps + self.mean_sample_privacy_cost])
+                    self.privacy_log.flush()
+
+                if opt.use_dp and opt.epsilon_budget is not None and \
+                        eps > opt.epsilon_budget:
+                    break
+
+                if (epoch + 1) % opt.save_every == 0:
+                    self._save(epoch + 1, epoch)
+        finally:
+            if profile_ctx is not None:
+                jax.profiler.stop_trace()
+                print("Profile trace written to", profile_ctx)
+
+        print("Finished training.")
+        self._save(epoch + 1, opt.n_epochs)
+        self.logger.close()
+        if self.privacy_log is not None:
+            self.privacy_log.close()
+        return epoch
+
+    def _save(self, epoch_label: int, epoch: int):
+        acc_state = self.accountant.state_dict() if self.accountant else None
+        checkpoint.save_pair(self.opt.output_dir, epoch_label, epoch,
+                             self.state, acc_state)
+
+
+def run_training(opt) -> Trainer:
+    trainer = Trainer(opt)
+    trainer.run()
+    return trainer

@@ -1,0 +1,613 @@
+"""Jitted GAN+DP train steps — the TPU-native core.
+
+One pure-functional, jit/pjit-compiled step per role replaces the reference's
+mutable-hook training runtime (train.py:360-517 plus the Opacus fork):
+
+  - D step, non-private: plain grad of (real + fake + aux + penalty) loss.
+  - D step, gc mode: per-sample-clipped real pass + clean fake pass
+    (`grad_clip_split` semantics, SURVEY.md §2.1) or combined-pass clipping,
+    adaptive/constant flat/per-layer thresholds, public-data penalty grads
+    scaled by batch size (train.py:431), Gaussian noise sigma*C, all fused
+    into one XLA program.
+  - D step, is mode: immediate sensitivity as a nested vjp — the gradient of
+    the (optionally per-layer-scaled) parameter-gradient norm w.r.t. the real
+    input batch — with noise sigma*sensitivity (train.py:103-107, 457-469).
+  - D step, tm/sv modes (experimental): per-coordinate trimmed mean with
+    smooth-sensitivity Student-t noise / sign-vote with Gaussian noise over
+    materialized per-sample grads.
+  - G step: adversarial (+ACGAN aux) loss through a frozen D.
+
+Host-side control flow (n_d_steps, train_d_until_threshold, warmup, logging
+cadence) lives in training/loop.py; everything here is shape-static and
+jit-safe. Batches may be sharded over a `jax.sharding.Mesh` data axis; the
+per-sample-grad sums then become XLA psums over ICI (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from csl_gan_tpu.models import losses
+from csl_gan_tpu.ops import grads as gops
+from csl_gan_tpu.training import param_order, penalty as penalty_mod
+from csl_gan_tpu.options import opt_get
+
+
+@struct.dataclass
+class TrainState:
+    g_params: Any
+    g_batch_stats: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    clipping: Any       # f32 scalar or [n_leaves] (gc; adaptive modes update it)
+    scaling_vec: Any    # [n_leaves] (is per-layer scaling) or f32 0.0 placeholder
+
+
+def make_optimizers(opt):
+    """Adam pair matching reference train.py:75-77 (L2 weight decay folded
+    into the gradient before the Adam moments, like torch's Adam)."""
+    g_tx = optax.adam(opt.g_lr, b1=opt.adam_b1, b2=opt.adam_b2)
+    wd = opt_get(opt, "weight_decay", 0) or 0
+    if wd:
+        d_tx = optax.chain(optax.add_decayed_weights(wd),
+                           optax.scale_by_adam(b1=opt.adam_b1, b2=opt.adam_b2),
+                           optax.scale(-opt.d_lr))
+    else:
+        d_tx = optax.adam(opt.d_lr, b1=opt.adam_b1, b2=opt.adam_b2)
+    return g_tx, d_tx
+
+
+class TrainStepBuilder:
+    """Builds the jitted step functions for a given config + model pair."""
+
+    def __init__(self, opt, G, D, label1_prob: float = 0.5):
+        self.opt = opt
+        self.G, self.D = G, D
+        self.family = G.family
+        self.conditional = bool(opt.conditional)
+        self.n_classes = opt.n_classes if opt.conditional else 0
+        self.arch = opt.conditional_arch
+        self.aux_type = opt.aux_loss_type
+        self.aux_scalar = opt.aux_loss_scalar
+        self.use_aux = bool(opt.use_aux_loss)
+        self.d_fake_aux = bool(opt.d_fake_aux_loss)
+        self.is_acgan = bool(opt.is_acgan)
+        self.latent = opt.g_latent_dim
+        self.label1_prob = label1_prob
+        self.penalty_types = list(opt.penalty or [])
+        self.aux_penalty = bool(opt.aux_penalty)
+        self.sigma = opt.sigma
+        self.dp_mode = opt.dp_mode
+        self.per_layer = bool(opt.use_grad_clip_per_layer)
+        self.grad_clip_split = bool(opt.grad_clip_split)
+        self.grad_clip_mode = opt.grad_clip_mode or "standard"
+        self.adaptive = self.grad_clip_mode.startswith("adaptive")
+        self.adaptive_stat = opt.adaptive_stat
+        self.adaptive_scalar = opt.adaptive_scalar
+        self.chunk = opt_get(opt, "per_sample_chunk", None)
+        self.is_per_param = bool(opt.imm_sens_per_param)
+        self.is_scaling_mode = opt.imm_sens_scaling_mode or "standard"
+        self.moving_avg_beta = opt_get(opt, "moving_avg_beta", 0.9)
+        self.steps_per_epoch = max(1, opt.train_set_size // opt.batch_size)
+        # tm/sv knobs (reference train.py:118-133; its min/max swap un-swapped)
+        self.tm_m = opt_get(opt, "tm_m", 10)
+        lo, hi = opt_get(opt, "tm_min_val", -1), opt_get(opt, "tm_max_val", 1)
+        self.tm_min_val, self.tm_max_val = min(lo, hi), max(lo, hi)
+        self.smooth_sens_t = opt_get(opt, "smooth_sens_t", 0.01)
+        self.rho_per_step = opt_get(opt, "tm_rho_per_epoch", 10) / self.steps_per_epoch
+
+        self.g_tx, self.d_tx = make_optimizers(opt)
+        self.g_has_bn = None  # resolved in init_state
+
+        # jitted entry points
+        self.d_step_plain = jax.jit(self._d_step_plain, donate_argnums=(0,))
+        self.g_step = jax.jit(self._g_step, donate_argnums=(0,))
+        dp = {"gc": self._d_step_gc, "is": self._d_step_is,
+              "tm": self._d_step_tmsv, "sv": self._d_step_tmsv}.get(self.dp_mode)
+        self.d_step_dp = jax.jit(dp, donate_argnums=(0,)) if dp else None
+
+    # ---------------- state ----------------
+
+    def init_state(self, G_vars, D_vars) -> TrainState:
+        self.g_has_bn = "batch_stats" in G_vars
+        d_params = D_vars["params"]
+        n_leaves = len(jax.tree_util.tree_leaves(d_params))
+
+        if self.per_layer:
+            cpl = opt_get(self.opt, "clipping_param_per_layer", None)
+            cpl = [1.0] * n_leaves if cpl is None else param_order.from_torch_order(cpl, d_params)
+            clipping = jnp.asarray(cpl, jnp.float32)
+        else:
+            clipping = jnp.asarray(float(self.opt.clipping_param or 1.0), jnp.float32)
+
+        sv = opt_get(self.opt, "imm_sens_scaling_vec", None)
+        if self.is_scaling_mode != "standard" and sv is not None:
+            scaling_vec = jnp.asarray(param_order.from_torch_order(sv, d_params), jnp.float32)
+        elif self.is_scaling_mode != "standard":
+            scaling_vec = jnp.ones((n_leaves,), jnp.float32)
+        else:
+            scaling_vec = jnp.asarray(0.0, jnp.float32)
+
+        return TrainState(
+            g_params=G_vars["params"],
+            g_batch_stats=G_vars.get("batch_stats", {}),
+            d_params=d_params,
+            g_opt_state=self.g_tx.init(G_vars["params"]),
+            d_opt_state=self.d_tx.init(d_params),
+            clipping=clipping,
+            scaling_vec=scaling_vec,
+        )
+
+    def reset_optimizers(self, state: TrainState) -> TrainState:
+        """Fresh Adam state (reference re-inits optimizers post-warmup,
+        train.py:572)."""
+        return state.replace(g_opt_state=self.g_tx.init(state.g_params),
+                             d_opt_state=self.d_tx.init(state.d_params))
+
+    # ---------------- small helpers ----------------
+
+    def _d_apply(self, d_params, x, y, aux=True):
+        return self.D.apply({"params": d_params}, x,
+                            y if self.conditional else None, aux=aux)
+
+    def _fake_images(self, state: TrainState, z, y):
+        variables = {"params": state.g_params}
+        if self.g_has_bn:
+            variables["batch_stats"] = state.g_batch_stats
+            img, upd = self.G.apply(variables, z, y, train=True,
+                                    mutable=["batch_stats"])
+            return jax.lax.stop_gradient(img), upd["batch_stats"]
+        img = self.G.apply(variables, z, y, train=True)
+        return jax.lax.stop_gradient(img), state.g_batch_stats
+
+    def gen_z(self, key, size):
+        return jax.random.normal(key, (size, self.latent))
+
+    def gen_y(self, key, size):
+        """Label sampling (reference train.py:153-161; the binary branch's
+        intent Bernoulli(p_true) rather than its int-compare quirk)."""
+        if not self.conditional:
+            return None
+        if self.n_classes < 3:
+            return jax.random.bernoulli(key, self.label1_prob, (size,)).astype(jnp.int32)
+        return jax.random.randint(key, (size,), 0, self.n_classes)
+
+    def _row_weights(self, y):
+        """Per-row 1/count-of-own-class, for the ACGAN-wasserstein aux loss's
+        cross-sample normalization under per-sample vmap."""
+        if not (self.use_aux and self.aux_type == "wasserstein"):
+            return None
+        onehot = jax.nn.one_hot(y, self.n_classes)
+        counts = jnp.sum(onehot, axis=0)
+        return 1.0 / jnp.maximum(counts[y], 1.0)
+
+    def _aux_single(self, aux_out_row, yi, wi, fake: bool):
+        """Aux loss of ONE sample (aux_out_row: [n_classes])."""
+        if not self.use_aux or aux_out_row is None:
+            return 0.0
+        if self.arch == "WCGAN":
+            return 0.0
+        if self.aux_type == "cross_entropy":
+            logp = jax.nn.log_softmax(aux_out_row)
+            return -self.aux_scalar * logp[yi]
+        sign = jax.nn.one_hot(yi, self.n_classes) * (-2.0) + 1.0
+        return self.aux_scalar * jnp.sum(sign * jax.nn.sigmoid(aux_out_row)) * wi
+
+    def _aux_batch(self, aux_out, y, fake: bool, reduction="mean"):
+        if not self.use_aux or aux_out is None:
+            return jnp.asarray(0.0) if reduction == "mean" else 0.0
+        if fake and self.arch == "WCGAN":
+            return jnp.asarray(0.0) if reduction == "mean" else 0.0
+        return losses.aux_loss(self.arch, self.aux_type, self.aux_scalar,
+                               aux_out, y, self.n_classes, fake=fake,
+                               reduction=reduction)
+
+    def _penalty_grads(self, d_params, pen_x, pen_y, fake_img, y_f, key):
+        def pen_fn(p):
+            return penalty_mod.calc_penalty(
+                self._d_apply, p, self.penalty_types, pen_x, pen_y,
+                fake_img, y_f, key, aux_penalty=self.aux_penalty,
+                n_classes=self.n_classes)
+        return jax.value_and_grad(pen_fn)(d_params)
+
+    # ---------------- metrics ----------------
+
+    def _d_metrics(self, real_out, fake_out, real_loss, fake_loss,
+                   real_aux_out, y, real_aux_loss, pen_value):
+        m = {
+            "d_adv_loss": real_loss + fake_loss,
+            "d_real_loss": real_loss,
+            "d_fake_loss": fake_loss,
+            "d_real_acc": 100.0 * jnp.mean((real_out > 0).astype(jnp.float32)),
+            "d_fake_acc": 100.0 * jnp.mean((fake_out < 0).astype(jnp.float32)),
+        }
+        if self.use_aux:
+            m["d_real_aux_loss"] = real_aux_loss
+            if real_aux_out is not None:
+                m["d_real_aux_acc"] = 100.0 * jnp.mean(
+                    (jnp.argmax(real_aux_out, axis=1) == y).astype(jnp.float32))
+            else:
+                m["d_real_aux_acc"] = jnp.asarray(0.0)
+        if self.penalty_types:
+            m["penalty"] = pen_value
+        return m
+
+    # ---------------- D step: non-private ----------------
+
+    def _d_step_plain(self, state: TrainState, x, y, pen_x, pen_y, rng):
+        b = x.shape[0]
+        k_z, k_pen = jax.random.split(rng)
+        z = self.gen_z(k_z, b)
+        fake_img, g_stats = self._fake_images(state, z, y)
+        row_w = self._row_weights(y) if self.conditional else None
+
+        def loss_fn(d_params):
+            f_out, f_aux = self._d_apply(d_params, fake_img, y,
+                                         aux=self.d_fake_aux)
+            r_out, r_aux = self._d_apply(d_params, x, y)
+            f_loss = losses.d_fake_loss(self.family, f_out)
+            r_loss = losses.d_real_loss(self.family, r_out)
+            f_aux_loss = self._aux_batch(f_aux, y, fake=True) \
+                if self.d_fake_aux else jnp.asarray(0.0)
+            r_aux_loss = self._aux_batch(r_aux, y, fake=False)
+            total = r_loss + f_loss + r_aux_loss + f_aux_loss
+            pen_value = jnp.asarray(0.0)
+            if self.penalty_types:
+                pen_value = penalty_mod.calc_penalty(
+                    self._d_apply, d_params, self.penalty_types, pen_x, pen_y,
+                    fake_img, y, k_pen, aux_penalty=self.aux_penalty,
+                    n_classes=self.n_classes)
+                total = total + pen_value
+            return total, (r_out, f_out, r_loss, f_loss, r_aux, r_aux_loss, pen_value)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+        r_out, f_out, r_loss, f_loss, r_aux, r_aux_loss, pen_value = aux
+        updates, d_opt = self.d_tx.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        metrics = self._d_metrics(r_out, f_out, r_loss, f_loss, r_aux, y,
+                                  r_aux_loss, pen_value)
+        return state.replace(d_params=d_params, d_opt_state=d_opt,
+                             g_batch_stats=g_stats), metrics
+
+    # ---------------- D step: gradient-clipping DP ----------------
+
+    def _real_ps_args(self, x, y, row_w):
+        """(loss_fn, batch_args) for the per-sample REAL pass."""
+        if self.conditional:
+            w = row_w if row_w is not None else jnp.ones(x.shape[0])
+
+            def f(d_params, xi, yi, wi):
+                out, aux_o = self._d_apply(d_params, xi[None], yi[None])
+                l = losses.d_real_loss(self.family, out, "none")[0]
+                return l + self._aux_single(
+                    None if aux_o is None else aux_o[0], yi, wi, fake=False)
+
+            return f, (x, y, w)
+
+        def f(d_params, xi):
+            out, _ = self._d_apply(d_params, xi[None], None)
+            return losses.d_real_loss(self.family, out, "none")[0]
+
+        return f, (x,)
+
+    def _combined_ps_args(self, x, y, fake_img, row_w):
+        """(loss_fn, batch_args) for real+fake combined per-sample clipping
+        (grad_clip_split=False / accum_passes semantics)."""
+        if self.conditional:
+            w = row_w if row_w is not None else jnp.ones(x.shape[0])
+
+            def f(d_params, xi, yi, fi, wi):
+                r_out, r_aux = self._d_apply(d_params, xi[None], yi[None])
+                f_out, f_aux = self._d_apply(d_params, fi[None], yi[None],
+                                             aux=self.d_fake_aux)
+                l = losses.d_real_loss(self.family, r_out, "none")[0] \
+                    + losses.d_fake_loss(self.family, f_out, "none")[0]
+                l = l + self._aux_single(None if r_aux is None else r_aux[0],
+                                         yi, wi, fake=False)
+                if self.d_fake_aux:
+                    l = l + self._aux_single(None if f_aux is None else f_aux[0],
+                                             yi, wi, fake=True)
+                return l
+
+            return f, (x, y, fake_img, w)
+
+        def f(d_params, xi, fi):
+            r_out, _ = self._d_apply(d_params, xi[None], None)
+            f_out, _ = self._d_apply(d_params, fi[None], None)
+            return losses.d_real_loss(self.family, r_out, "none")[0] \
+                + losses.d_fake_loss(self.family, f_out, "none")[0]
+
+        return f, (x, fake_img)
+
+    def _adaptive_clipping(self, d_params, ax, ay):
+        """New clip thresholds from public/mean-batch per-sample grad norms
+        (reference train.py:204-245; real-pass only, the grad_clip_split
+        default)."""
+        row_w = self._row_weights(ay) if self.conditional else None
+        f, args = self._real_ps_args(ax, ay, row_w)
+        ps = gops.per_sample_grads(f, d_params, *args, chunk=self.chunk)
+        norms = gops._leaf_norms(ps)  # [L, B]
+        stat = jnp.mean(norms, axis=1) if self.adaptive_stat == "mean" \
+            else jnp.max(norms, axis=1)
+        if self.per_layer:
+            return stat * self.adaptive_scalar
+        return jnp.sqrt(jnp.sum(stat ** 2)) * self.adaptive_scalar
+
+    def _d_step_gc(self, state: TrainState, x, y, pen_x, pen_y, ax, ay, rng):
+        b = x.shape[0]
+        k_z, k_noise, k_pen = jax.random.split(rng, 3)
+        z = self.gen_z(k_z, b)
+        fake_img, g_stats = self._fake_images(state, z, y)
+        row_w = self._row_weights(y) if self.conditional else None
+
+        clipping = state.clipping
+        if self.adaptive:
+            clipping = self._adaptive_clipping(state.d_params, ax, ay)
+
+        if self.grad_clip_split:
+            # Private real pass: per-sample clip; clean fake pass: sum grads.
+            f, args = self._real_ps_args(x, y, row_w)
+            summed, clip_stats = gops.clipped_grad_sum(
+                f, state.d_params, *args, max_norm=clipping,
+                per_layer=self.per_layer, chunk=self.chunk)
+
+            def fake_sum(d_params):
+                out, aux_o = self._d_apply(d_params, fake_img, y,
+                                           aux=self.d_fake_aux)
+                l = jnp.sum(losses.d_fake_loss(self.family, out, "none"))
+                if self.d_fake_aux and self.use_aux:
+                    per = self._aux_batch(aux_o, y, fake=True, reduction="none")
+                    l = l + jnp.sum(per)
+                return l, (out, aux_o)
+
+            (_, (f_out, _f_aux)), fake_grads = jax.value_and_grad(
+                fake_sum, has_aux=True)(state.d_params)
+            total = jax.tree.map(jnp.add, summed, fake_grads)
+        else:
+            f, args = self._combined_ps_args(x, y, fake_img, row_w)
+            total, clip_stats = gops.clipped_grad_sum(
+                f, state.d_params, *args, max_norm=clipping,
+                per_layer=self.per_layer, chunk=self.chunk)
+            f_out, _ = self._d_apply(state.d_params, fake_img, y,
+                                     aux=False)
+
+        pen_value = jnp.asarray(0.0)
+        if self.penalty_types:
+            # Public/mean-sample penalty: plain grad added to the summed grads
+            # scaled by batch size (train.py:423-431).
+            pen_value, pen_grads = self._penalty_grads(
+                state.d_params, pen_x, pen_y, fake_img, y, k_pen)
+            total = jax.tree.map(lambda t, g: t + g * b, total, pen_grads)
+
+        noised = gops.add_gaussian_noise(k_noise, total, self.sigma, clipping,
+                                         per_layer=self.per_layer)
+        grads = jax.tree.map(lambda t: t / b, noised)
+
+        updates, d_opt = self.d_tx.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+
+        # Metrics forward (real pass outputs for logging).
+        r_out, r_aux = self._d_apply(state.d_params, x, y)
+        r_loss = losses.d_real_loss(self.family, r_out)
+        f_loss = losses.d_fake_loss(self.family, f_out)
+        r_aux_loss = self._aux_batch(r_aux, y, fake=False)
+        metrics = self._d_metrics(r_out, f_out, r_loss, f_loss, r_aux, y,
+                                  r_aux_loss, pen_value)
+        metrics.update({
+            "norm_mean": clip_stats.norm_mean,
+            "norm_std": clip_stats.norm_std,
+            "norm_max": clip_stats.norm_max,
+            "frac_clipped": clip_stats.frac_clipped,
+            "clipping": clipping * jnp.ones(clip_stats.norm_mean.shape[0])
+            if not self.per_layer else clipping,
+        })
+        new_state = state.replace(d_params=d_params, d_opt_state=d_opt,
+                                  g_batch_stats=g_stats)
+        if self.adaptive:
+            new_state = new_state.replace(clipping=clipping)
+        return new_state, metrics
+
+    # ---------------- D step: immediate sensitivity DP ----------------
+
+    def _d_step_is(self, state: TrainState, x, y, pen_x, pen_y, rng):
+        b = x.shape[0]
+        k_z, k_noise, k_pen = jax.random.split(rng, 3)
+        z = self.gen_z(k_z, b)
+        fake_img, g_stats = self._fake_images(state, z, y)
+
+        def total_loss(d_params, x_in):
+            f_out, f_aux = self._d_apply(d_params, fake_img, y,
+                                         aux=self.d_fake_aux)
+            r_out, r_aux = self._d_apply(d_params, x_in, y)
+            total = losses.d_real_loss(self.family, r_out) \
+                + losses.d_fake_loss(self.family, f_out) \
+                + self._aux_batch(r_aux, y, fake=False)
+            if self.d_fake_aux:
+                total = total + self._aux_batch(f_aux, y, fake=True)
+            pen_value = jnp.asarray(0.0)
+            if self.penalty_types:
+                pen_value = penalty_mod.calc_penalty(
+                    self._d_apply, d_params, self.penalty_types, pen_x, pen_y,
+                    fake_img, y, k_pen, aux_penalty=self.aux_penalty,
+                    n_classes=self.n_classes)
+                total = total + pen_value
+            return total, (r_out, f_out, r_aux, pen_value)
+
+        grad_fn = jax.grad(total_loss, argnums=0, has_aux=True)
+        grads, (r_out, f_out, r_aux, pen_value) = grad_fn(state.d_params, x)
+
+        use_scaling = self.is_scaling_mode != "standard"
+
+        if self.is_per_param:
+            # sens_l = || d ||g_l|| / d x ||  per parameter tensor.
+            def s_vec(x_in):
+                g, _ = grad_fn(state.d_params, x_in)
+                return gops.per_leaf_norms(g)
+            jac = jax.jacrev(s_vec)(x)  # [L, B, H, W, C]
+            sens = jnp.sqrt(jnp.sum(jac.reshape(jac.shape[0], -1) ** 2, axis=1))
+            stds = self.sigma * sens  # [L]
+        elif use_scaling:
+            v = state.scaling_vec
+
+            def s_scaled(x_in):
+                g, _ = grad_fn(state.d_params, x_in)
+                ln = gops.per_leaf_norms(g)
+                return jnp.sqrt(jnp.sum((ln / v) ** 2))
+            gx = jax.grad(s_scaled)(x)
+            sens = jnp.sqrt(jnp.sum(gx ** 2))
+            stds = self.sigma * sens * v  # [L]
+        else:
+            def s_flat(x_in):
+                g, _ = grad_fn(state.d_params, x_in)
+                return gops.global_norm(g)
+            gx = jax.grad(s_flat)(x)
+            sens = jnp.sqrt(jnp.sum(gx ** 2))
+            n_leaves = len(jax.tree_util.tree_leaves(grads))
+            stds = jnp.broadcast_to(self.sigma * sens, (n_leaves,))
+
+        leaves, treedef = jax.tree_util.tree_flatten(grads)
+        keys = jax.random.split(k_noise, len(leaves))
+        noised = [g + stds[i] * jax.random.normal(k, g.shape, g.dtype)
+                  for i, (g, k) in enumerate(zip(leaves, keys))]
+        grads = jax.tree_util.tree_unflatten(treedef, noised)
+
+        updates, d_opt = self.d_tx.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+
+        new_scaling = state.scaling_vec
+        if self.is_scaling_mode == "moving-avg-pl":
+            gn = gops.per_leaf_norms(grads)
+            new_scaling = state.scaling_vec * self.moving_avg_beta \
+                + gn * (1 - self.moving_avg_beta)
+
+        r_loss = losses.d_real_loss(self.family, r_out)
+        f_loss = losses.d_fake_loss(self.family, f_out)
+        r_aux_loss = self._aux_batch(r_aux, y, fake=False)
+        metrics = self._d_metrics(r_out, f_out, r_loss, f_loss, r_aux, y,
+                                  r_aux_loss, pen_value)
+        metrics["is_sens"] = sens
+        return state.replace(d_params=d_params, d_opt_state=d_opt,
+                             g_batch_stats=g_stats,
+                             scaling_vec=new_scaling), metrics
+
+    # ---------------- D step: trimmed-mean / sign-vote (experimental) -----
+
+    def _d_step_tmsv(self, state: TrainState, x, y, pen_x, pen_y, rng):
+        b = x.shape[0]
+        k_z, k_noise, k_pen = jax.random.split(rng, 3)
+        z = self.gen_z(k_z, b)
+        fake_img, g_stats = self._fake_images(state, z, y)
+        row_w = self._row_weights(y) if self.conditional else None
+
+        f, args = self._combined_ps_args(x, y, fake_img, row_w)
+        ps = gops.per_sample_grads(f, state.d_params, *args, chunk=self.chunk)
+
+        leaves, treedef = jax.tree_util.tree_flatten(ps)
+        keys = jax.random.split(k_noise, len(leaves))
+        out_leaves = []
+        if self.dp_mode == "tm":
+            for g, k in zip(leaves, keys):
+                out_leaves.append(self._trimmed_mean(g, k))
+        else:
+            sv_std = 2.0 / jnp.sqrt(2.0 * self.rho_per_step)
+            for g, k in zip(leaves, keys):
+                vote = jnp.sum(jnp.sign(g), axis=0)
+                noisy = vote + sv_std * jax.random.normal(k, vote.shape)
+                out_leaves.append(noisy / b)
+        grads = jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+        pen_value = jnp.asarray(0.0)
+        if self.penalty_types:
+            pen_value, pen_grads = self._penalty_grads(
+                state.d_params, pen_x, pen_y, fake_img, y, k_pen)
+            grads = jax.tree.map(jnp.add, grads, pen_grads)  # train.py:433
+
+        updates, d_opt = self.d_tx.update(grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+
+        r_out, r_aux = self._d_apply(state.d_params, x, y)
+        f_out, _ = self._d_apply(state.d_params, fake_img, y, aux=False)
+        metrics = self._d_metrics(
+            r_out, f_out, losses.d_real_loss(self.family, r_out),
+            losses.d_fake_loss(self.family, f_out), r_aux, y,
+            self._aux_batch(r_aux, y, fake=False), pen_value)
+        return state.replace(d_params=d_params, d_opt_state=d_opt,
+                             g_batch_stats=g_stats), metrics
+
+    def _trimmed_mean(self, g, key):
+        """Per-coordinate m-trimmed mean with smooth-sensitivity Student-t
+        noise (experimental parity with the fork's TMPrivacyEngine)."""
+        b = g.shape[0]
+        m = min(self.tm_m, (b - 1) // 2)
+        n_keep = b - 2 * m
+        z = jnp.sort(jnp.clip(g, self.tm_min_val, self.tm_max_val), axis=0)
+        mid = z[m:b - m]
+        mean = jnp.mean(mid, axis=0)
+        # Smooth sensitivity: S = max_k e^{-t k} (z[ub_k] - z[lb_k]) / n_keep,
+        # the window can slide by at most k positions at distance k.
+        t = self.smooth_sens_t
+        terms = []
+        for k in range(0, m + 1):
+            ub = min(b - 1, b - m - 1 + k)
+            lb = max(0, m - k)
+            terms.append(jnp.exp(-t * k) * (z[ub] - z[lb]) / n_keep)
+        terms.append(jnp.full_like(mean, jnp.exp(-t * (m + 1))
+                                   * (self.tm_max_val - self.tm_min_val) / n_keep))
+        s = jnp.max(jnp.stack(terms), axis=0)
+        scale = s / jnp.sqrt(2.0 * self.rho_per_step)
+        noise = jax.random.t(key, 3.0, mean.shape) * scale
+        return mean + noise
+
+    # ---------------- G step ----------------
+
+    def _g_step(self, state: TrainState, rng):
+        b = self.opt.batch_size
+        k_z, k_y = jax.random.split(rng)
+        z = self.gen_z(k_z, b)
+        y = self.gen_y(k_y, b)
+
+        def loss_fn(g_params):
+            variables = {"params": g_params}
+            if self.g_has_bn:
+                variables["batch_stats"] = state.g_batch_stats
+                img, upd = self.G.apply(variables, z, y, train=True,
+                                        mutable=["batch_stats"])
+                new_stats = upd["batch_stats"]
+            else:
+                img = self.G.apply(variables, z, y, train=True)
+                new_stats = state.g_batch_stats
+            out, aux_o = self._d_apply(state.d_params, img, y)
+            adv = losses.g_adv_loss(self.family, out)
+            aux = self._aux_batch(aux_o, y, fake=False) if self.is_acgan \
+                else jnp.asarray(0.0)
+            return adv + aux, (new_stats, adv, aux, aux_o)
+
+        (_, (new_stats, adv, aux, aux_o)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.g_params)
+        updates, g_opt = self.g_tx.update(grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+
+        metrics = {"g_adv_loss": adv}
+        if self.is_acgan:
+            metrics["g_aux_loss"] = aux
+            metrics["g_aux_acc"] = 100.0 * jnp.mean(
+                (jnp.argmax(aux_o, axis=1) == y).astype(jnp.float32)) \
+                if aux_o is not None else jnp.asarray(0.0)
+        return state.replace(g_params=g_params, g_opt_state=g_opt,
+                             g_batch_stats=new_stats), metrics
+
+    # ---------------- sampling (fixed-z grids, eval mode) ----------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def sample_images(self, state: TrainState, z, y):
+        variables = {"params": state.g_params}
+        if self.g_has_bn:
+            variables["batch_stats"] = state.g_batch_stats
+        return self.G.apply(variables, z, y, train=False)

@@ -1,0 +1,91 @@
+"""Config smoke matrix — the reference test_configs.sh as real pytest
+(SURVEY.md §4), on tiny synthetic data through the actual train.py CLI path."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import train as train_cli  # noqa: E402
+
+BASE = ["-tss", "200", "-ne", "1", "-bs", "50", "--manual_seed", "2",
+        "--log_every", "200", "--sample_every", "100000", "--save_every", "1",
+        "--sample_num", "10"]
+
+
+def run(tmp_path, name, *argv):
+    out = str(tmp_path / name)
+    train_cli.main(["MNIST", *BASE, *argv, "-o", out])
+    out += "/"
+    assert os.path.exists(out + "opt.txt")
+    assert os.path.exists(out + "log.csv")
+    assert os.path.exists(out + "saves/G-1")
+    assert os.path.exists(out + "saves/D-1")
+    return out
+
+
+def test_mnist_nonprivate(tmp_path):
+    run(tmp_path, "plain")
+
+
+def test_mnist_conditional(tmp_path):
+    run(tmp_path, "cond", "--conditional")
+
+
+def test_mnist_gc(tmp_path):
+    out = run(tmp_path, "gc", "-dpm", "gc", "-nms", "1", "--mean_sample_size", "10")
+    assert os.path.exists(out + "privacy_log.csv")
+
+
+def test_mnist_gc_conditional(tmp_path):
+    run(tmp_path, "gccond", "-dpm", "gc", "--conditional",
+        "-nms", "1", "--mean_sample_size", "10")
+
+
+def test_mnist_is(tmp_path):
+    run(tmp_path, "is", "-dpm", "is")
+
+
+def test_mnist_is_conditional(tmp_path):
+    run(tmp_path, "iscond", "-dpm", "is", "--conditional")
+
+
+def test_mnist_tm(tmp_path):
+    run(tmp_path, "tm", "-dpm", "tm")
+
+
+def test_mnist_sv(tmp_path):
+    run(tmp_path, "sv", "-dpm", "sv")
+
+
+def test_mnist_warmup_with_mean_samples(tmp_path):
+    run(tmp_path, "warm", "-dpm", "gc", "-nms", "2", "--mean_sample_size", "10",
+        "-wi", "2")
+
+
+def test_mnist_epsilon_budget_stops(tmp_path):
+    out = str(tmp_path / "budget")
+    train_cli.main(["MNIST", "-tss", "200", "-ne", "50", "-bs", "50",
+                    "--manual_seed", "2", "--log_every", "100000",
+                    "--sample_every", "100000", "--save_every", "100",
+                    "-dpm", "gc", "--sigma", "0.5", "-eb", "0.3", "-o", out])
+    import csv
+    with open(out + "/privacy_log.csv") as f:
+        rows = list(csv.reader(f))
+    # stopped well before 50 epochs
+    assert len(rows) < 20
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="CelebA DCResNet compile is minutes on CPU; "
+                           "covered by the TPU smoke in CI/bench")
+def test_celeba_gc(tmp_path):
+    out = str(tmp_path / "celeba")
+    train_cli.main(["CelebA", "-tss", "32", "-ne", "1", "-bs", "8",
+                    "--manual_seed", "2", "--im_size", "48", "-dpm", "gc",
+                    "-nms", "1", "--mean_sample_size", "4", "--log_every", "32",
+                    "--sample_every", "100000", "--save_every", "1",
+                    "--sample_num", "4", "-o", out])
+    assert os.path.exists(out + "/saves/G-1")
