@@ -50,14 +50,19 @@ def bench_jax() -> float:
     jax.block_until_ready(state.d_params)
     log(f"jax compile+first step: {time.perf_counter() - t0:.1f}s")
 
-    n_iters = 50
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, m = step(state, x, y, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.d_params)
-    dt = (time.perf_counter() - t0) / n_iters
-    sps = BATCH / dt
-    log(f"jax steady state: {dt * 1e3:.2f} ms/step, {sps:,.0f} samples/s")
+    # The tunneled TPU shows run-to-run variance; take the best of several
+    # trials as the steady-state number.
+    n_iters, n_trials = 50, 4
+    best = float("inf")
+    for t in range(n_trials):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, m = step(state, x, y, jax.random.fold_in(key, i))
+        jax.block_until_ready(state.d_params)
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+    sps = BATCH / best
+    log(f"jax steady state (best of {n_trials}): {best * 1e3:.2f} ms/step, "
+        f"{sps:,.0f} samples/s")
     return sps
 
 

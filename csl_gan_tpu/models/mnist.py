@@ -39,12 +39,19 @@ class MNISTVanillaD(nn.Module):
 
     Unlike DCResNet's D, the vanilla D concatenates the label one-hot for
     *any* conditional arch including ACGAN (reference MNIST_models.py:41-46).
+
+    When `bpc_fwd`/`bpc_back` are set and `bpc=True` is passed, each layer's
+    input activations are L2-clipped in the forward pass and its output
+    cotangent in the backward pass — the backprop-clipping scheme of
+    reference backprop_clip.py (see ops/backprop_clip.py).
     """
     n_classes: int = 0
     emb_mode: str = "concat"
     conditional_arch: str = "ACGAN"
     aux_loss_type: str = "cross_entropy"
     aux_loss_scalar: float = 1.0
+    bpc_fwd: Optional[tuple] = None   # per-layer input clip levels
+    bpc_back: Optional[tuple] = None  # per-layer cotangent clip levels
 
     family = "vanilla"
 
@@ -59,13 +66,21 @@ class MNISTVanillaD(nn.Module):
         if self.n_classes > 1 and self.conditional_arch == "ACGAN":
             self.linOutAux = TorchDense(self.n_classes)
 
-    def __call__(self, x, y: Optional[jnp.ndarray] = None, aux: bool = True):
+    def _layer(self, idx, fn, o, bpc: bool):
+        if bpc and self.bpc_fwd is not None:
+            from csl_gan_tpu.ops.backprop_clip import cotangent_clip, l2_clip
+            return cotangent_clip(fn(l2_clip(o, self.bpc_fwd[idx])),
+                                  self.bpc_back[idx])
+        return fn(o)
+
+    def __call__(self, x, y: Optional[jnp.ndarray] = None, aux: bool = True,
+                 bpc: bool = False):
         o = x.reshape(x.shape[0], -1)
         if y is not None:
             o = jnp.concatenate([o, one_hot(y, self.n_classes)], axis=1)
-        o = nn.relu(self.lin1(o))
-        out = self.lin2(o)
+        o = nn.relu(self._layer(0, self.lin1, o, bpc))
+        out = self._layer(1, self.lin2, o, bpc)
         aux_out = None
         if aux and self.conditional_arch == "ACGAN" and self.n_classes > 1:
-            aux_out = self.linOutAux(o)
+            aux_out = self._layer(2, self.linOutAux, o, bpc)
         return out, aux_out

@@ -67,10 +67,16 @@ def init_models(opt, init_G: bool = True, init_D: bool = True):
         y = jnp.zeros((1,), jnp.int32) if n_classes > 0 else None
         G_vars = G.init(g_key, z, y, train=True)
     if init_D:
+        d_kwargs = {}
+        if opt_get(opt, "backprop_clip", False):
+            from csl_gan_tpu.ops.backprop_clip import bpc_config_for
+            cfg = bpc_config_for(opt)
+            d_kwargs = {"bpc_fwd": tuple(cfg.input_clip_params),
+                        "bpc_back": tuple(cfg.back_clip_params)}
         D = d_ctor(n_classes=n_classes, emb_mode=opt.d_label_emb_mode,
                    conditional_arch=opt.conditional_arch,
                    aux_loss_type=opt.aux_loss_type,
-                   aux_loss_scalar=opt.aux_loss_scalar)
+                   aux_loss_scalar=opt.aux_loss_scalar, **d_kwargs)
         x = jnp.zeros((1,) + _image_shape(opt), jnp.float32)
         y = jnp.zeros((1,), jnp.int32) if n_classes > 0 else None
         D_vars = D.init(d_key, x, y)

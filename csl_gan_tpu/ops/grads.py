@@ -26,6 +26,7 @@ from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Pytree = Any
 
@@ -104,15 +105,56 @@ def per_sample_grads(loss_fn: Callable, params: Pytree, *batch,
     return jax.tree.map(lambda g: jnp.reshape(g, (n,) + g.shape[2:]), stacked)
 
 
+def _noise_stds(tree: Pytree, sigma: float,
+                max_norm, per_layer: bool) -> jnp.ndarray:
+    """Per-leaf DP noise std: sigma*C (flat) or sigma*C_l (per-layer)."""
+    n = len(jax.tree_util.tree_leaves(tree))
+    if per_layer:
+        return jnp.asarray(max_norm, jnp.float32) * sigma
+    return jnp.broadcast_to(jnp.asarray(max_norm, jnp.float32) * sigma, (n,))
+
+
+def _weighted_sum_fused_noise(grads_ps: Pytree, factors: jnp.ndarray,
+                              key: jax.Array, stds: jnp.ndarray) -> Pytree:
+    """Weighted sum with DP noise fused in: large leaves go through the
+    Pallas MXU kernel (one HBM pass, in-register noise); small leaves use
+    the XLA path + jax.random noise."""
+    from csl_gan_tpu.ops import pallas_clip
+
+    leaves, treedef = jax.tree_util.tree_flatten(grads_ps)
+    seeds = jax.random.randint(key, (len(leaves),), 0, np.iinfo(np.int32).max)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for idx, g in enumerate(leaves):
+        b = g.shape[0]
+        p = int(np.prod(g.shape[1:])) if g.ndim > 1 else 1
+        if p >= pallas_clip.MIN_PALLAS_ELEMS:
+            out.append(pallas_clip.leaf_weighted_sum_noise(
+                g, factors[idx], seeds[idx], stds[idx]))
+        else:
+            w = factors[idx].reshape((b,) + (1,) * (g.ndim - 1))
+            s = jnp.sum(g * w, axis=0)
+            out.append(s + stds[idx] * jax.random.normal(keys[idx], s.shape, s.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def clipped_grad_sum(loss_fn: Callable, params: Pytree, *batch,
                      max_norm: Union[float, Sequence[float]],
                      per_layer: bool = False,
-                     chunk: Optional[int] = None) -> Tuple[Pytree, ClipStats]:
+                     chunk: Optional[int] = None,
+                     fused_noise: Optional[Tuple[jax.Array, float]] = None
+                     ) -> Tuple[Pytree, ClipStats]:
     """Sum over samples of per-sample-clipped gradients, plus norm statistics.
 
     Equivalent of Opacus `clip()` + the grad-norm logging pass
     (train.py:396-399) in one fused computation. With `chunk` set, runs a
     lax.scan over batch chunks, so peak memory is chunk x params.
+
+    With `fused_noise=(key, sigma)` (TPU, unchunked only), the Gaussian DP
+    noise is generated inside the same Pallas kernel that performs the
+    weighted sum — no separate noise tensor touches HBM. Noise addition
+    commutes with the penalty-gradient addition that may follow, so fusing
+    it here is mathematically identical to the reference's noise-at-step.
     """
 
     def one_chunk(batch_chunk):
@@ -120,10 +162,16 @@ def clipped_grad_sum(loss_fn: Callable, params: Pytree, *batch,
             params, *batch_chunk)
         norms = _leaf_norms(g_ps)
         factors = clip_factors(norms, max_norm, per_layer)
-        return _weighted_sum(g_ps, factors), norms, factors
+        return g_ps, norms, factors
 
     if chunk is None:
-        summed, norms, factors = one_chunk(batch)
+        g_ps, norms, factors = one_chunk(batch)
+        if fused_noise is not None:
+            key, sigma = fused_noise
+            stds = _noise_stds(params, sigma, max_norm, per_layer)
+            summed = _weighted_sum_fused_noise(g_ps, factors, key, stds)
+        else:
+            summed = _weighted_sum(g_ps, factors)
         return summed, _stats_from_norms(norms, factors)
 
     n = batch[0].shape[0]
@@ -131,8 +179,13 @@ def clipped_grad_sum(loss_fn: Callable, params: Pytree, *batch,
     chunked = tuple(jnp.reshape(b, (n // chunk, chunk) + b.shape[1:]) for b in batch)
     zero = jax.tree.map(jnp.zeros_like, params)
 
+    if fused_noise is not None:
+        raise ValueError("fused_noise is not supported with chunked "
+                         "per-sample grads; add noise separately")
+
     def body(acc, bc):
-        s, norms, factors = one_chunk(bc)
+        g_ps, norms, factors = one_chunk(bc)
+        s = _weighted_sum(g_ps, factors)
         return jax.tree.map(jnp.add, acc, s), (norms, factors)
 
     summed, (norms_all, factors_all) = jax.lax.scan(body, zero, chunked)

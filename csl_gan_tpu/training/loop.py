@@ -61,6 +61,19 @@ class Trainer:
         if opt.resume_path is None:
             snapshot_code(opt.output_dir)
 
+        # Backprop clipping: derived per-parameter grad bounds become the DP
+        # clipping parameters (reference train.py:84-92; x batch_size because
+        # summed per-sample grads are compared against them).
+        if opt_get(opt, "backprop_clip", False):
+            from csl_gan_tpu.ops.backprop_clip import bpc_config_for
+            cfg = bpc_config_for(opt)
+            opt.clipping_param_per_layer = [c * opt.batch_size
+                                            for c in cfg.grad_l2_bounds]
+            opt.clipping_param = float(np.linalg.norm(opt.clipping_param_per_layer))
+            print("BPC L2 Bounds:", cfg.grad_l2_bounds)
+            print("BPC Backprop Clipping Params:", cfg.back_clip_params)
+            print("BPC Forward Clipping Params:", cfg.input_clip_params)
+
         (self.G, G_vars), (self.D, D_vars) = init_models(opt)
         self.dataset, self.dataloader, self.public_dataset, self.public_dataloader = \
             init_data(opt)

@@ -92,11 +92,14 @@ class TrainStepBuilder:
         self.adaptive_stat = opt.adaptive_stat
         self.adaptive_scalar = opt.adaptive_scalar
         self.chunk = opt_get(opt, "per_sample_chunk", None)
+        self.use_pallas = bool(opt_get(opt, "pallas", True)) and self.chunk is None
         self.is_per_param = bool(opt.imm_sens_per_param)
         self.is_scaling_mode = opt.imm_sens_scaling_mode or "standard"
         self.moving_avg_beta = opt_get(opt, "moving_avg_beta", 0.9)
         self.steps_per_epoch = max(1, opt.train_set_size // opt.batch_size)
         # tm/sv knobs (reference train.py:118-133; its min/max swap un-swapped)
+        self.use_bpc = bool(opt_get(opt, "backprop_clip", False))
+        self.bpc_g = bool(opt_get(opt, "bpc_during_g_train", True))
         self.tm_m = opt_get(opt, "tm_m", 10)
         lo, hi = opt_get(opt, "tm_min_val", -1), opt_get(opt, "tm_max_val", 1)
         self.tm_min_val, self.tm_max_val = min(lo, hi), max(lo, hi)
@@ -153,9 +156,14 @@ class TrainStepBuilder:
 
     # ---------------- small helpers ----------------
 
-    def _d_apply(self, d_params, x, y, aux=True):
+    def _d_apply(self, d_params, x, y, aux=True, bpc=False):
+        kwargs = {"aux": aux}
+        if self.use_bpc:
+            # Only the vanilla D accepts the bpc flag (reference
+            # backprop_clip.py supports only the MNIST vanilla model).
+            kwargs["bpc"] = bpc
         return self.D.apply({"params": d_params}, x,
-                            y if self.conditional else None, aux=aux)
+                            y if self.conditional else None, **kwargs)
 
     def _fake_images(self, state: TrainState, z, y):
         variables = {"params": state.g_params}
@@ -284,7 +292,7 @@ class TrainStepBuilder:
             w = row_w if row_w is not None else jnp.ones(x.shape[0])
 
             def f(d_params, xi, yi, wi):
-                out, aux_o = self._d_apply(d_params, xi[None], yi[None])
+                out, aux_o = self._d_apply(d_params, xi[None], yi[None], bpc=True)
                 l = losses.d_real_loss(self.family, out, "none")[0]
                 return l + self._aux_single(
                     None if aux_o is None else aux_o[0], yi, wi, fake=False)
@@ -292,7 +300,7 @@ class TrainStepBuilder:
             return f, (x, y, w)
 
         def f(d_params, xi):
-            out, _ = self._d_apply(d_params, xi[None], None)
+            out, _ = self._d_apply(d_params, xi[None], None, bpc=True)
             return losses.d_real_loss(self.family, out, "none")[0]
 
         return f, (x,)
@@ -304,9 +312,9 @@ class TrainStepBuilder:
             w = row_w if row_w is not None else jnp.ones(x.shape[0])
 
             def f(d_params, xi, yi, fi, wi):
-                r_out, r_aux = self._d_apply(d_params, xi[None], yi[None])
+                r_out, r_aux = self._d_apply(d_params, xi[None], yi[None], bpc=True)
                 f_out, f_aux = self._d_apply(d_params, fi[None], yi[None],
-                                             aux=self.d_fake_aux)
+                                             aux=self.d_fake_aux, bpc=True)
                 l = losses.d_real_loss(self.family, r_out, "none")[0] \
                     + losses.d_fake_loss(self.family, f_out, "none")[0]
                 l = l + self._aux_single(None if r_aux is None else r_aux[0],
@@ -319,8 +327,8 @@ class TrainStepBuilder:
             return f, (x, y, fake_img, w)
 
         def f(d_params, xi, fi):
-            r_out, _ = self._d_apply(d_params, xi[None], None)
-            f_out, _ = self._d_apply(d_params, fi[None], None)
+            r_out, _ = self._d_apply(d_params, xi[None], None, bpc=True)
+            f_out, _ = self._d_apply(d_params, fi[None], None, bpc=True)
             return losses.d_real_loss(self.family, r_out, "none")[0] \
                 + losses.d_fake_loss(self.family, f_out, "none")[0]
 
@@ -351,16 +359,22 @@ class TrainStepBuilder:
         if self.adaptive:
             clipping = self._adaptive_clipping(state.d_params, ax, ay)
 
+        # Fused Pallas clip+noise path (TPU, unchunked): DP noise is
+        # generated inside the weighted-sum kernel; addition commutes with
+        # the fake-pass/penalty grads added below.
+        fused = (k_noise, self.sigma) if (
+            self.use_pallas and jax.default_backend() == "tpu") else None
+
         if self.grad_clip_split:
             # Private real pass: per-sample clip; clean fake pass: sum grads.
             f, args = self._real_ps_args(x, y, row_w)
             summed, clip_stats = gops.clipped_grad_sum(
                 f, state.d_params, *args, max_norm=clipping,
-                per_layer=self.per_layer, chunk=self.chunk)
+                per_layer=self.per_layer, chunk=self.chunk, fused_noise=fused)
 
             def fake_sum(d_params):
                 out, aux_o = self._d_apply(d_params, fake_img, y,
-                                           aux=self.d_fake_aux)
+                                           aux=self.d_fake_aux, bpc=True)
                 l = jnp.sum(losses.d_fake_loss(self.family, out, "none"))
                 if self.d_fake_aux and self.use_aux:
                     per = self._aux_batch(aux_o, y, fake=True, reduction="none")
@@ -374,7 +388,7 @@ class TrainStepBuilder:
             f, args = self._combined_ps_args(x, y, fake_img, row_w)
             total, clip_stats = gops.clipped_grad_sum(
                 f, state.d_params, *args, max_norm=clipping,
-                per_layer=self.per_layer, chunk=self.chunk)
+                per_layer=self.per_layer, chunk=self.chunk, fused_noise=fused)
             f_out, _ = self._d_apply(state.d_params, fake_img, y,
                                      aux=False)
 
@@ -386,9 +400,10 @@ class TrainStepBuilder:
                 state.d_params, pen_x, pen_y, fake_img, y, k_pen)
             total = jax.tree.map(lambda t, g: t + g * b, total, pen_grads)
 
-        noised = gops.add_gaussian_noise(k_noise, total, self.sigma, clipping,
-                                         per_layer=self.per_layer)
-        grads = jax.tree.map(lambda t: t / b, noised)
+        if fused is None:
+            total = gops.add_gaussian_noise(k_noise, total, self.sigma,
+                                            clipping, per_layer=self.per_layer)
+        grads = jax.tree.map(lambda t: t / b, total)
 
         updates, d_opt = self.d_tx.update(grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
@@ -424,8 +439,8 @@ class TrainStepBuilder:
 
         def total_loss(d_params, x_in):
             f_out, f_aux = self._d_apply(d_params, fake_img, y,
-                                         aux=self.d_fake_aux)
-            r_out, r_aux = self._d_apply(d_params, x_in, y)
+                                         aux=self.d_fake_aux, bpc=True)
+            r_out, r_aux = self._d_apply(d_params, x_in, y, bpc=True)
             total = losses.d_real_loss(self.family, r_out) \
                 + losses.d_fake_loss(self.family, f_out) \
                 + self._aux_batch(r_aux, y, fake=False)
@@ -583,7 +598,9 @@ class TrainStepBuilder:
             else:
                 img = self.G.apply(variables, z, y, train=True)
                 new_stats = state.g_batch_stats
-            out, aux_o = self._d_apply(state.d_params, img, y)
+            out, aux_o = self._d_apply(
+                state.d_params, img, y,
+                bpc=self.use_bpc and self.bpc_g and bool(self.opt.use_dp))
             adv = losses.g_adv_loss(self.family, out)
             aux = self._aux_batch(aux_o, y, fake=False) if self.is_acgan \
                 else jnp.asarray(0.0)

@@ -1,0 +1,67 @@
+"""Pallas fused clip+noise kernel tests.
+
+The unit suite pins the CPU backend, so these auto-skip there; run them on
+the TPU with:  RUN_TPU_TESTS=1 python -m pytest tests/test_pallas.py
+(conftest still pins cpu — these tests spawn checks only when the default
+backend is tpu, which requires running outside the suite's conftest or via
+the standalone driver at the bottom).
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+tpu = jax.default_backend() == "tpu"
+pytestmark = pytest.mark.skipif(not tpu, reason="needs TPU backend")
+
+
+def test_weighted_sum_exact():
+    from csl_gan_tpu.ops import pallas_clip as pc
+    k = jax.random.PRNGKey(0)
+    g = jax.random.normal(k, (600, 100352))
+    w = jax.random.uniform(jax.random.fold_in(k, 1), (600,))
+    out = pc.weighted_sum_noise_2d(g, w, 7, 0.0)
+    want = w @ g
+    rel = float(jnp.max(jnp.abs(out - want)) / jnp.max(jnp.abs(want)))
+    assert rel < 1e-5
+
+
+def test_noise_calibration():
+    from csl_gan_tpu.ops import pallas_clip as pc
+    out = pc.weighted_sum_noise_2d(jnp.zeros((8, 1 << 17)), jnp.zeros(8), 3, 2.5)
+    assert abs(float(out.mean())) < 0.05
+    assert float(out.std()) == pytest.approx(2.5, rel=0.02)
+
+
+def test_seed_independence():
+    from csl_gan_tpu.ops import pallas_clip as pc
+    o1 = pc.weighted_sum_noise_2d(jnp.zeros((8, 4096)), jnp.zeros(8), 1, 1.0)
+    o2 = pc.weighted_sum_noise_2d(jnp.zeros((8, 4096)), jnp.zeros(8), 2, 1.0)
+    assert float(jnp.abs(o1 - o2).max()) > 0.1
+    o1b = pc.weighted_sum_noise_2d(jnp.zeros((8, 4096)), jnp.zeros(8), 1, 1.0)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o1b))
+
+
+def test_leaf_padding():
+    from csl_gan_tpu.ops import pallas_clip as pc
+    g = jax.random.normal(jax.random.PRNGKey(2), (16, 100, 333))  # P=33300, odd
+    w = jax.random.uniform(jax.random.PRNGKey(3), (16,))
+    out = pc.leaf_weighted_sum_noise(g, w, 5, 0.0)
+    want = jnp.einsum("b,bij->ij", w, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+if __name__ == "__main__":
+    # Standalone TPU driver (bypasses the CPU-pinning conftest).
+    test_weighted_sum_exact()
+    test_noise_calibration()
+    test_seed_independence()
+    test_leaf_padding()
+    print("pallas kernel tests: all OK on", jax.devices())
