@@ -34,35 +34,43 @@ def log(*a):
 
 
 def bench_jax() -> float:
+    """End-to-end training throughput through the real Trainer loop
+    (device-resident dataset + per-interval lax.scan), the production path."""
     import jax
 
-    from __graft_entry__ import _build, _train_step_fn
+    from csl_gan_tpu import options
+    from csl_gan_tpu.training.loop import Trainer
 
-    opt, builder, state = _build(BATCH, "/tmp/bench_out")
-    step = jax.jit(_train_step_fn(builder), donate_argnums=(0,))
-
-    key = jax.random.PRNGKey(0)
-    x = jax.random.uniform(key, (BATCH, 28, 28, 1))
-    y = jax.random.randint(key, (BATCH,), 0, 10)
+    tss = 60000
+    opt = options.parse([
+        "MNIST", "--conditional", "-dpm", "gc", "--sigma", "10",
+        "-bs", str(BATCH), "-tss", str(tss), "--manual_seed", "7",
+        "-ne", "1", "--log_every", "100000000", "--sample_every", "100000000",
+        "--save_every", "10000", "-o", "/tmp/bench_out",
+    ])
+    trainer = Trainer(opt)
+    assert trainer._scan_mode(), "bench expects the device-side scan path"
+    steps_per_epoch = len(trainer.dataloader)
 
     t0 = time.perf_counter()
-    state, m = step(state, x, y, key)
-    jax.block_until_ready(state.d_params)
-    log(f"jax compile+first step: {time.perf_counter() - t0:.1f}s")
+    trainer._epoch_scan(0)
+    jax.block_until_ready(trainer.state.d_params)
+    log(f"compile + first epoch: {time.perf_counter() - t0:.1f}s")
 
-    # The tunneled TPU shows run-to-run variance; take the best of several
-    # trials as the steady-state number.
-    n_iters, n_trials = 50, 4
+    # Tunneled-TPU variance: best of several trials.
+    n_epochs, n_trials = 5, 3
     best = float("inf")
-    for t in range(n_trials):
+    e = 1
+    for _ in range(n_trials):
         t0 = time.perf_counter()
-        for i in range(n_iters):
-            state, m = step(state, x, y, jax.random.fold_in(key, i))
-        jax.block_until_ready(state.d_params)
-        best = min(best, (time.perf_counter() - t0) / n_iters)
-    sps = BATCH / best
-    log(f"jax steady state (best of {n_trials}): {best * 1e3:.2f} ms/step, "
-        f"{sps:,.0f} samples/s")
+        for _ in range(n_epochs):
+            trainer._epoch_scan(e)
+            e += 1
+        jax.block_until_ready(trainer.state.d_params)
+        best = min(best, (time.perf_counter() - t0) / n_epochs)
+    sps = steps_per_epoch * BATCH / best
+    log(f"steady state (best of {n_trials}): {best * 1e3:.1f} ms/epoch "
+        f"({steps_per_epoch} steps), {sps:,.0f} samples/s")
     return sps
 
 

@@ -115,6 +115,14 @@ class Loader:
         idx = self._epoch_indices()[: self.batch_size]
         return self._make_batch(idx)
 
+    def iter_indices(self) -> Iterator[np.ndarray]:
+        """One epoch of shuffled batch-index arrays (for the device-resident
+        data path: only these tiny index vectors cross host->device)."""
+        idx = self._epoch_indices()
+        n_full = len(idx) // self.batch_size
+        for i in range(n_full):
+            yield idx[i * self.batch_size:(i + 1) * self.batch_size]
+
 
 def init_data(opt):
     """(dataset, dataloader, public_dataset, public_dataloader) — the

@@ -258,6 +258,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "(bounds per-sample grad memory); None = whole batch vmap.")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (cpu/tpu); None = JAX default.")
+    parser.add_argument("--host_loop", type=str2bool, default=False,
+                        help="Force the per-batch host loop instead of the "
+                             "device-side interval scan.")
     parser.add_argument("--pallas", type=str2bool, default=False,
                         help="Use the fused Pallas clip+noise kernel on TPU. "
                              "Off by default: XLA algebraically fuses the "
@@ -265,9 +268,6 @@ def build_parser() -> argparse.ArgumentParser:
                              "(no [B,P] materialization), which profiles "
                              "faster for these models; the kernel wins only "
                              "when per-sample grads are materialized anyway.")
-    parser.add_argument("--bf16", type=str2bool, default=False,
-                        help="Run G/D matmuls and convs in bfloat16 (params stay f32).")
-
     return parser
 
 

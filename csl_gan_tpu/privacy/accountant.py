@@ -41,9 +41,14 @@ class RdpAccountant:
         """(epsilon, best_alpha) after `self.steps` compositions."""
         if self.steps == 0:
             return 0.0, float(self.alphas[0])
-        rdp = rdp_mod.compute_rdp(self.sample_rate, self.noise_multiplier,
-                                  self.steps, self.alphas)
-        return rdp_mod.get_privacy_spent(self.alphas, rdp, delta)
+        # RDP composes linearly in steps: cache the per-step per-order values
+        # so per-epoch epsilon queries are O(orders) multiplies.
+        cached = getattr(self, "_rdp_one_step", None)
+        if cached is None:
+            cached = rdp_mod.compute_rdp(self.sample_rate,
+                                         self.noise_multiplier, 1, self.alphas)
+            object.__setattr__(self, "_rdp_one_step", cached)
+        return rdp_mod.get_privacy_spent(self.alphas, cached * self.steps, delta)
 
     # --- checkpoint plumbing (fixes reference resume epsilon undercount) ---
     def state_dict(self) -> dict:

@@ -114,6 +114,29 @@ class MeanSampler:
             r += self._rng.normal(0, noise_std, size=r.shape).astype(np.float32)
         return r.astype(np.float32), (labels if self.n_classes > 1 else None)
 
+    def device_sample_fn(self):
+        """A jit-safe sampler over device-resident mean samples.
+
+        Returns f(samples, key, labels_or_None, size) -> (imgs, labels);
+        index selection is with replacement (the host path permutes in
+        blocks — distributionally equivalent surrogate sampling)."""
+        n_cls = self.n_classes
+        n_samp = self.num_samples
+
+        def f(samples, key, labels, size):
+            import jax
+            import jax.numpy as jnp
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            if labels is None:
+                labels = jax.random.randint(k1, (size,), 0, n_cls)
+            idx = jax.random.randint(k2, (size,), 0, n_samp)
+            r = samples[labels, idx]
+            r = r + 0.01 * jax.random.normal(k3, (size,) + (1,) * (r.ndim - 1))
+            r = r + 0.01 * jax.random.normal(k4, r.shape)
+            return r, labels
+
+        return f
+
     def get_privacy_cost(self, target_delta: float = 1e-6,
                          alphas=None) -> Tuple[float, float]:
         """RDP cost of releasing all mean samples (mean_sampler.py:86-92):

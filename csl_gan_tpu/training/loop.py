@@ -27,7 +27,7 @@ import numpy as np
 
 from csl_gan_tpu import options as options_mod
 from csl_gan_tpu.data import init_data
-from csl_gan_tpu.data.loader import Loader
+from csl_gan_tpu.data.loader import ArrayDataset, Loader
 from csl_gan_tpu.models.registry import init_models
 from csl_gan_tpu.options import opt_get
 from csl_gan_tpu.parallel import make_mesh
@@ -120,6 +120,11 @@ class Trainer:
         self.mesh = make_mesh(opt)
         self._torch_idx = np.asarray(
             param_order.torch_order_indices(D_vars["params"]))
+        # Commit the state to the mesh's replicated sharding up-front so the
+        # first step compiles once (uncommitted args would otherwise trigger
+        # a second compile when outputs come back committed).
+        self.state = self.mesh.put_replicated(self.state)
+        self._setup_device_data()
 
         self.accountant = make_accountant(opt) if opt.use_dp else None
         self.start_epoch = 0
@@ -157,6 +162,69 @@ class Trainer:
 
         self.batches_per_epoch = opt.train_set_size / opt.batch_size
         self._global_step = 0
+        self._seg_runners = {}
+        # Commit the carried rng (and the mean-sample dummy) so the segment
+        # runner compiles once, not twice (uncommitted->committed args).
+        self._seg_rng = self.mesh.put_replicated(
+            jax.random.fold_in(self.root_key, 0x5E9))
+        self._ms_dummy = self.mesh.put_replicated(jnp.zeros(()))
+
+    # ---------------- device-resident data ----------------
+
+    def _setup_device_data(self):
+        """Upload in-memory datasets (and mean samples) to the device once;
+        per-step host->device traffic then reduces to tiny index vectors and
+        RNG keys. This is both the TPU-idiomatic design (SURVEY.md §7.3:
+        device-side prefetch) and essential on tunneled TPUs where bulk
+        host->device copies cost ~30 MB/s."""
+        import jax.numpy as jnp
+
+        self._dev_data = None
+        self._dev_public = None
+        self._dev_mean = None
+        if isinstance(self.dataset, ArrayDataset) and \
+                self.dataset.images.nbytes <= (4 << 30):
+            self._dev_data = (
+                self.mesh.put_replicated(jnp.asarray(self.dataset.images, jnp.float32)),
+                self.mesh.put_replicated(jnp.asarray(self.dataset.labels, jnp.int32)))
+            self._gather = jax.jit(lambda im, lb, idx: (im[idx], lb[idx]))
+            bs = self.opt.batch_size
+
+            def gather_next(im, lb, perm, counter):
+                idx = jax.lax.dynamic_slice(perm, (counter * bs,), (bs,))
+                return im[idx], lb[idx], counter + 1
+
+            # Counter lives on device and round-trips through the jit: a full
+            # epoch runs with zero per-step host->device transfers.
+            self._gather_next = jax.jit(gather_next)
+            self._perm = jax.jit(
+                lambda key: jax.random.permutation(key, len(self.dataset)))
+        if isinstance(self.public_dataset, ArrayDataset) and \
+                self.public_dataset.images.nbytes <= (1 << 30):
+            self._dev_public = (
+                self.mesh.put_replicated(
+                    jnp.asarray(self.public_dataset.images, jnp.float32)),
+                self.mesh.put_replicated(
+                    jnp.asarray(self.public_dataset.labels, jnp.int32)))
+        if self.mean_sampler is not None:
+            ms = self.mean_sampler
+            self._dev_mean = self.mesh.put_replicated(
+                jnp.asarray(ms.mean_samples, jnp.float32))
+            n_cls, n_samp = ms.mean_samples.shape[:2]
+
+            def dev_sample(samples, key, labels, size):
+                k1, k2, k3, k4 = jax.random.split(key, 4)
+                if labels is None:
+                    labels = jax.random.randint(k1, (size,), 0, n_cls)
+                # index with replacement (the host path permutes in blocks;
+                # distributionally equivalent surrogate sampling)
+                idx = jax.random.randint(k2, (size,), 0, n_samp)
+                r = samples[labels, idx]
+                r = r + 0.01 * jax.random.normal(k3, (size,) + (1,) * (r.ndim - 1))
+                r = r + 0.01 * jax.random.normal(k4, r.shape)
+                return r, labels
+
+            self._dev_mean_sample = jax.jit(dev_sample, static_argnums=(3,))
 
     # ---------------- per-batch helpers ----------------
 
@@ -178,6 +246,11 @@ class Trainer:
                                  for l in np.asarray(y)])
             return np.stack(data), np.asarray(labels, dtype=np.int64)
         if opt.num_mean_samples > 0:
+            if self._dev_mean is not None:
+                data, labels = self._dev_mean_sample(
+                    self._dev_mean, self._step_key(),
+                    None if y is None else jnp.asarray(y), b)
+                return data, (labels if y is not None else None)
             data, labels = self.mean_sampler.sample(
                 b, requested_labels=None if y is None else np.asarray(y))
             return data, (labels if y is not None else None)
@@ -187,10 +260,97 @@ class Trainer:
         """Public/mean batch for adaptive clipping (train.py:204-217)."""
         opt = self.opt
         if opt.public_set_size > 0:
-            img, labels = self.public_dataloader.one_batch()
+            if self._dev_public is not None:
+                idx = self.public_dataloader._epoch_indices()[: opt.batch_size]
+                img, labels = self._gather(*self._dev_public, jnp.asarray(idx))
+            else:
+                img, labels = self.public_dataloader.one_batch()
             return img, (labels if opt.conditional else None)
-        img, labels = self.mean_sampler.sample(opt.batch_size)
+        if self._dev_mean is not None:
+            img, labels = self._dev_mean_sample(
+                self._dev_mean, self._step_key(), None, opt.batch_size)
+        else:
+            img, labels = self.mean_sampler.sample(opt.batch_size)
         return img, (labels if opt.conditional else None)
+
+    # ---------------- device-side interval scan ----------------
+
+    def _scan_mode(self) -> bool:
+        """Whole logging intervals run as one jitted lax.scan when the
+        dataset is device-resident and all per-batch host decisions are
+        static (default threshold, no public-data paths)."""
+        opt = self.opt
+        return (self._dev_data is not None
+                and opt.train_d_until_threshold >= 1e10
+                and opt.public_set_size == 0
+                and not opt_get(opt, "host_loop", False))
+
+    def _get_runner(self, use_dp: bool):
+        if use_dp not in self._seg_runners:
+            mean_fn = (self.mean_sampler.device_sample_fn()
+                       if self._dev_mean is not None else None)
+            self._seg_runners[use_dp] = self.builder.build_segment_runner(
+                use_dp, mean_fn)
+        return self._seg_runners[use_dp]
+
+    def _accumulate_sums(self, d_sums, g_sums, g_count, seg_len):
+        """Fold a segment's summed metrics into the logger stats."""
+        s = self.logger.stats
+        mapping = {"d_adv_loss": "D Adv Loss", "d_real_loss": "D Real Loss",
+                   "d_fake_loss": "D Fake Loss", "d_real_acc": "D Real Acc",
+                   "d_fake_acc": "D Fake Acc",
+                   "d_real_aux_loss": "D Real Aux Loss",
+                   "d_real_aux_acc": "D Real Aux Acc", "penalty": "D Penalty"}
+        for k, name in mapping.items():
+            if k in d_sums and name in s:
+                s[name] += d_sums[k]
+        if "norm_mean" in d_sums:
+            s["D Layer Grad Norm Means"] += d_sums["norm_mean"][self._torch_idx]
+            s["D Layer Grad Norm Stds"] += d_sums["norm_std"][self._torch_idx]
+            s["D Layer Grad Norm Maxes"] += d_sums["norm_max"][self._torch_idx]
+            s["Clipping Params"] += d_sums["clipping"][self._torch_idx]
+            s["Grads Clipped"] += d_sums["frac_clipped"][self._torch_idx]
+        if "is_sens" in d_sums:
+            # Scan mode logs interval means for IS (min/max degenerate to the
+            # mean of sums; the per-batch path tracks true extremes).
+            s["IS Mean"] += d_sums["is_sens"]
+            s["IS Min"] += d_sums["is_sens"]
+            s["IS Max"] += d_sums["is_sens"]
+        gmap = {"g_adv_loss": "G Adv Loss", "g_aux_loss": "G Aux Loss",
+                "g_aux_acc": "G Aux Acc"}
+        for k, name in gmap.items():
+            if k in g_sums and name in s:
+                s[name] += g_sums[k]
+        self.logger.log_g_iter = self.logger.log_g_iter + g_count
+
+    def _epoch_scan(self, epoch: int):
+        opt = self.opt
+        n = len(self.dataloader)
+        bs = opt.batch_size
+        cuts = sorted({k for k in range(1, n + 1)
+                       if k == n or (k * bs) % opt.log_every == 0
+                       or (k * bs) % opt.sample_every == 0})
+        perm = self._perm(jax.random.fold_in(self.root_key, 0xE90C + epoch))
+        runner = self._get_runner(opt.use_dp)
+        ms = self._dev_mean if self._dev_mean is not None else self._ms_dummy
+        start = 0
+        for cut in cuts:
+            seg = cut - start
+            g_mask = jnp.asarray(
+                np.arange(start, cut) % opt.n_d_steps == 0)
+            self.state, self._seg_rng, d_sums, g_sums, g_count = runner(
+                self.state, self._seg_rng, *self._dev_data, perm, start,
+                g_mask, ms)
+            self._accumulate_sums(d_sums, g_sums, g_count, seg)
+            if opt.use_dp and self.accountant is not None:
+                self.accountant.step(seg)
+            if (cut * bs) % opt.log_every == 0:
+                self._flush_log(epoch, 100 * (cut - 1) / self.batches_per_epoch,
+                                print_dp=opt.use_dp)
+            if (cut * bs) % opt.sample_every == 0:
+                self.sample(epoch, cut - 1)
+            start = cut
+        return n - 1  # last batch index
 
     def _d_step(self, x, y, use_dp: bool):
         opt = self.opt
@@ -321,6 +481,9 @@ class Trainer:
         for it in range(opt_get(opt, "warmup_iter", 0) or 0):
             if opt.public_set_size > 0:
                 img, labels = self.public_dataloader.one_batch()
+            elif self._dev_mean is not None:
+                img, labels = self._dev_mean_sample(
+                    self._dev_mean, self._step_key(), None, opt.batch_size)
             else:
                 img, labels = self.mean_sampler.sample(opt.batch_size)
             self.train_batch(-1, it, img, labels, use_dp=False)
@@ -345,8 +508,19 @@ class Trainer:
             for epoch in range(self.start_epoch, opt.n_epochs):
                 self.logger.reset_stats()
                 batch_i = 0
-                for batch_i, (x, y) in enumerate(self.dataloader):
-                    self.train_batch(epoch, batch_i, x, y, use_dp=opt.use_dp)
+                if self._scan_mode():
+                    batch_i = self._epoch_scan(epoch)
+                elif self._dev_data is not None:
+                    perm = self._perm(jax.random.fold_in(self.root_key,
+                                                         0xE90C + epoch))
+                    counter = jnp.zeros((), jnp.int32)
+                    for batch_i in range(len(self.dataloader)):
+                        x, y, counter = self._gather_next(*self._dev_data,
+                                                          perm, counter)
+                        self.train_batch(epoch, batch_i, x, y, use_dp=opt.use_dp)
+                else:
+                    for batch_i, (x, y) in enumerate(self.dataloader):
+                        self.train_batch(epoch, batch_i, x, y, use_dp=opt.use_dp)
 
                 if opt.log_every_epochs > 0 and (epoch + 1) % opt.log_every_epochs == 0:
                     self._flush_log(epoch, 100)

@@ -620,6 +620,85 @@ class TrainStepBuilder:
         return state.replace(g_params=g_params, g_opt_state=g_opt,
                              g_batch_stats=new_stats), metrics
 
+    # ---------------- segment runner (device-side interval scan) ---------
+
+    def _d_core(self, state, x, y, pen_x, pen_y, ax, ay, rng, use_dp: bool):
+        """Static dispatch over the per-batch D update variants."""
+        if use_dp and self.dp_mode == "gc":
+            return self._d_step_gc(state, x, y, pen_x, pen_y, ax, ay, rng)
+        if use_dp and self.dp_mode == "is":
+            return self._d_step_is(state, x, y, pen_x, pen_y, rng)
+        if use_dp and self.dp_mode in ("tm", "sv"):
+            return self._d_step_tmsv(state, x, y, pen_x, pen_y, rng)
+        return self._d_step_plain(state, x, y, pen_x, pen_y, rng)
+
+    def build_segment_runner(self, use_dp: bool, mean_sample_fn=None):
+        """One jitted lax.scan over a whole logging interval of batches.
+
+        The host dispatches ONCE per interval instead of ~15 ops per batch —
+        the difference between ~18 ms/step and device-limited throughput on
+        dispatch-latency-heavy links (and the idiomatic XLA structure
+        everywhere). Gating of the G update (n_d_steps cadence) comes in as
+        a per-batch boolean mask (dynamic input, so interval length is the
+        only retrace key); train_d_until_threshold gating is host-side and
+        uses the per-batch path instead.
+
+        Returns f(state, rng, images, labels, perm, start, g_mask,
+        mean_samples) -> (state, rng, d_metric_sums, g_metric_sums, g_count).
+        `mean_samples` may be a dummy scalar when unused.
+        """
+        bs = self.opt.batch_size
+        use_mean = mean_sample_fn is not None
+        need_pen = bool(self.penalty_types)
+        need_adapt = self.adaptive and use_dp
+
+        def run(state, rng, images, labels, perm, start, g_mask, mean_samples):
+            def body(carry, inp):
+                state, rng = carry
+                i, g_on = inp
+                rng, k_d, k_g, k_pen, k_ad = jax.random.split(rng, 5)
+                idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,), (bs,))
+                x = images[idx]
+                y = labels[idx] if self.conditional else None
+
+                if need_pen and use_mean:
+                    pen_x, pen_y = mean_sample_fn(mean_samples, k_pen, y, bs)
+                    if not self.conditional:
+                        pen_y = None
+                else:
+                    pen_x, pen_y = x, y
+                if need_adapt and use_mean:
+                    ax, ay = mean_sample_fn(mean_samples, k_ad, None, bs)
+                    if not self.conditional:
+                        ay = None
+                else:
+                    ax, ay = x, y
+
+                state, dm = self._d_core(state, x, y, pen_x, pen_y, ax, ay,
+                                         k_d, use_dp)
+
+                def do_g(st):
+                    return self._g_step(st, k_g)
+
+                def skip_g(st):
+                    zeros = {"g_adv_loss": jnp.asarray(0.0)}
+                    if self.is_acgan:
+                        zeros["g_aux_loss"] = jnp.asarray(0.0)
+                        zeros["g_aux_acc"] = jnp.asarray(0.0)
+                    return st, zeros
+
+                state, gm = jax.lax.cond(g_on, do_g, skip_g, state)
+                return (state, rng), (dm, gm)
+
+            n = g_mask.shape[0]
+            xs = (jnp.arange(n), g_mask)
+            (state, rng), (dms, gms) = jax.lax.scan(body, (state, rng), xs)
+            d_sums = jax.tree.map(lambda a: jnp.sum(a, axis=0), dms)
+            g_sums = jax.tree.map(lambda a: jnp.sum(a, axis=0), gms)
+            return state, rng, d_sums, g_sums, jnp.sum(g_mask.astype(jnp.int32))
+
+        return jax.jit(run, donate_argnums=(0,))
+
     # ---------------- sampling (fixed-z grids, eval mode) ----------------
 
     @functools.partial(jax.jit, static_argnums=0)

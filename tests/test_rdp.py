@@ -84,6 +84,19 @@ def test_get_privacy_spent_classic_conversion():
     assert best == orders[int(np.argmin(manual))]
 
 
+def test_published_dpsgd_mnist_epsilon():
+    """The canonical published DP-SGD MNIST point (TF-Privacy tutorial /
+    Abadi-style accounting): N=60000, batch 256, noise 1.1, 60 epochs,
+    delta 1e-5 => eps ~= 3.0 with the classic RDP conversion the Opacus fork
+    used. Pins the whole accountant against a published external value."""
+    q = 256 / 60000
+    steps = 60 * 60000 / 256
+    orders = [1 + x / 10.0 for x in range(1, 100)] + list(range(12, 64))
+    r = rdp.compute_rdp(q, 1.1, steps, orders)
+    eps, alpha = rdp.get_privacy_spent(orders, r, 1e-5)
+    assert eps == pytest.approx(3.0, abs=0.03)
+
+
 def test_default_operating_points_sane():
     # MNIST default: bs 600 / 60000, sigma 5.0 (options.py:11-47).
     acc = RdpAccountant(batch_size=600, sample_size=60000, noise_multiplier=5.0)
