@@ -136,3 +136,33 @@ class CelebADataset:
             xs.append(x)
             ys.append(y)
         return np.stack(xs), np.asarray(ys, dtype=np.int64)
+
+    def decoded_cache(self, cache_dir: Optional[str] = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode-once uint8 cache of the whole dataset (no flip, no
+        normalize — those run on-device per epoch).
+
+        Returns (images uint8 NHWC, labels int64). The decoded array is
+        memory-mapped from `<cache_dir>/celeba_<size>_<off>_<len>.npy` and
+        reused across runs; 180k 64px images are ~2.2 GB — they fit in TPU
+        HBM, enabling the device-resident scan path with on-device
+        augmentation instead of per-batch host JPEG decode.
+        """
+        labels = (self.labels if self.labels is not None
+                  else np.zeros(self.length, np.int64))
+        if cache_dir is None:
+            cache_dir = os.path.join(self.root if not self.synthetic else "/tmp",
+                                     "_decoded_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        tag = f"celeba_{self.im_size}_{self.offset}_{self.length}"
+        if self.synthetic:
+            tag += "_syn"
+        path = os.path.join(cache_dir, tag + ".npy")
+        if os.path.exists(path):
+            return np.load(path, mmap_mode="r"), labels
+        print(f"[csl_gan_tpu] decoding {self.length} CelebA images into {path} ...")
+        arr = np.empty((self.length, self.im_size, self.im_size, 3), np.uint8)
+        for i in range(self.length):
+            arr[i] = np.clip(self._decode(i + 1) * 255.0 + 0.5, 0, 255)
+        np.save(path, arr)
+        return np.load(path, mmap_mode="r"), labels

@@ -22,17 +22,27 @@ import numpy as np
 
 
 class ArrayDataset:
-    """In-memory dataset of (images NHWC float32, labels int64)."""
+    """In-memory (or memory-mapped) dataset of (images NHWC, labels int64).
 
-    def __init__(self, images: np.ndarray, labels: np.ndarray):
+    `transform`, when set, maps a raw image batch to the training
+    representation on the host path (e.g. uint8 -> normalized float with
+    random flip for cached CelebA); the device-resident path uploads the raw
+    array and applies the equivalent transform on-device instead.
+    """
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, transform=None):
         self.images = images
         self.labels = labels
+        self.transform = transform
 
     def __len__(self):
         return len(self.images)
 
     def __getitem__(self, i):
-        return self.images[i], self.labels[i]
+        x = self.images[i]
+        if self.transform is not None:
+            x = self.transform(x[None])[0]
+        return x, self.labels[i]
 
     def get_item_with_label(self, label, number=None, _rng=np.random):
         idx = np.nonzero(self.labels == label)[0]
@@ -70,7 +80,10 @@ class Loader:
 
     def _make_batch(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         if isinstance(self.dataset, ArrayDataset):
-            return self.dataset.images[idx], self.dataset.labels[idx]
+            x = self.dataset.images[idx]
+            if self.dataset.transform is not None:
+                x = self.dataset.transform(x)
+            return x, self.dataset.labels[idx]
         xs, ys = [], []
         for i in idx:
             x, y = self.dataset[int(i)]

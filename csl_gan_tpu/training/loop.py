@@ -78,6 +78,28 @@ class Trainer:
         self.dataset, self.dataloader, self.public_dataset, self.public_dataloader = \
             init_data(opt)
 
+        # CelebA production path: decode once into a uint8 cache, train from
+        # a device-resident copy with on-device normalize + random flip (the
+        # per-image host JPEG decode would otherwise bottleneck the ~2 ms
+        # step). The host fallback applies the same transform in numpy.
+        self._uint8_images = False
+        if opt.dataset == "CelebA" and not opt_get(opt, "host_loop", False):
+            u8, cache_labels = self.dataset.decoded_cache()
+            flip_rng = np.random.default_rng(opt.manual_seed + 13)
+
+            def host_transform(batch):
+                x = np.asarray(batch, np.float32) / 127.5 - 1.0
+                fl = flip_rng.random(len(x)) < 0.5
+                x[fl] = x[fl, :, ::-1, :]
+                return x
+
+            cached = ArrayDataset(u8, cache_labels, transform=host_transform)
+            cached.label_true_count = self.dataset.label_true_count
+            self.dataset = cached
+            self.dataloader = Loader(cached, opt.batch_size, shuffle=True,
+                                     seed=opt.manual_seed)
+            self._uint8_images = True
+
         # Mean sampler (public surrogate data, train.py:53-73).
         self.mean_sampler = None
         self.mean_sample_privacy_cost = 0.0
@@ -115,6 +137,8 @@ class Trainer:
                 self.dataset.label_true_count is not None:
             label1_prob = self.dataset.label_true_count / opt.train_set_size
 
+        if not hasattr(self, "_uint8_images"):
+            self._uint8_images = False
         self.builder = TrainStepBuilder(opt, self.G, self.D, label1_prob)
         self.state = self.builder.init_state(G_vars, D_vars)
         self.mesh = make_mesh(opt)
@@ -163,6 +187,20 @@ class Trainer:
         self.batches_per_epoch = opt.train_set_size / opt.batch_size
         self._global_step = 0
         self._seg_runners = {}
+        # Per-batch metric accumulation happens in ONE jitted combine per
+        # step (the naive per-stat adds cost ~15 dispatches/step, which
+        # dominates on high-dispatch-latency links).
+        self._d_acc = None
+        self._g_acc = None
+        self._comb = jax.jit(lambda acc, m: jax.tree.map(jnp.add, acc, m))
+
+        def comb_is(acc, m):
+            out = {k: acc[k] + v for k, v in m.items()}
+            out["is_sens_min"] = jnp.minimum(acc["is_sens_min"], m["is_sens"])
+            out["is_sens_max"] = jnp.maximum(acc["is_sens_max"], m["is_sens"])
+            return out
+
+        self._comb_is = jax.jit(comb_is)
         # Commit the carried rng (and the mean-sample dummy) so the segment
         # runner compiles once, not twice (uncommitted->committed args).
         self._seg_rng = self.mesh.put_replicated(
@@ -182,12 +220,22 @@ class Trainer:
         self._dev_data = None
         self._dev_public = None
         self._dev_mean = None
+        self._dev_preprocess = None
         if isinstance(self.dataset, ArrayDataset) and \
                 self.dataset.images.nbytes <= (4 << 30):
+            imgs = np.asarray(self.dataset.images)  # resolves memmaps
+            dtype = jnp.uint8 if imgs.dtype == np.uint8 else jnp.float32
             self._dev_data = (
-                self.mesh.put_replicated(jnp.asarray(self.dataset.images, jnp.float32)),
+                self.mesh.put_replicated(jnp.asarray(imgs, dtype)),
                 self.mesh.put_replicated(jnp.asarray(self.dataset.labels, jnp.int32)))
             self._gather = jax.jit(lambda im, lb, idx: (im[idx], lb[idx]))
+            if self._uint8_images:
+                def dev_preprocess(x, key):
+                    x = x.astype(jnp.float32) / 127.5 - 1.0
+                    flip = jax.random.bernoulli(key, 0.5, (x.shape[0],))
+                    return jnp.where(flip[:, None, None, None],
+                                     x[:, :, ::-1, :], x)
+                self._dev_preprocess = dev_preprocess
             bs = self.opt.batch_size
 
             def gather_next(im, lb, perm, counter):
@@ -283,6 +331,11 @@ class Trainer:
         return (self._dev_data is not None
                 and opt.train_d_until_threshold >= 1e10
                 and opt.public_set_size == 0
+                # DCResNet's scan-wrapped step can take ~10 min to compile
+                # on the remote-compile backend, so scan requires enough total
+                # steps to amortize; the Vanilla models compile in seconds.
+                and (opt.model == "Vanilla"
+                     or opt.n_epochs * len(self.dataloader) >= 20000)
                 and not opt_get(opt, "host_loop", False))
 
     def _get_runner(self, use_dp: bool):
@@ -290,7 +343,7 @@ class Trainer:
             mean_fn = (self.mean_sampler.device_sample_fn()
                        if self._dev_mean is not None else None)
             self._seg_runners[use_dp] = self.builder.build_segment_runner(
-                use_dp, mean_fn)
+                use_dp, mean_fn, preprocess=self._dev_preprocess)
         return self._seg_runners[use_dp]
 
     def _accumulate_sums(self, d_sums, g_sums, g_count, seg_len):
@@ -321,7 +374,8 @@ class Trainer:
         for k, name in gmap.items():
             if k in g_sums and name in s:
                 s[name] += g_sums[k]
-        self.logger.log_g_iter = self.logger.log_g_iter + g_count
+        if g_count is not None:
+            self.logger.log_g_iter = self.logger.log_g_iter + g_count
 
     def _epoch_scan(self, epoch: int):
         opt = self.opt
@@ -381,48 +435,21 @@ class Trainer:
         return m
 
     def _accumulate_d(self, m):
-        s = self.logger.stats
-        self.logger.d_adv_loss = self.logger.d_adv_loss + m["d_adv_loss"]
-        s["D Adv Loss"] += m["d_adv_loss"]
-        s["D Real Loss"] += m["d_real_loss"]
-        s["D Fake Loss"] += m["d_fake_loss"]
-        s["D Real Acc"] += m["d_real_acc"]
-        s["D Fake Acc"] += m["d_fake_acc"]
-        if "d_real_aux_loss" in m:
-            s["D Real Aux Loss"] += m["d_real_aux_loss"]
-            s["D Real Aux Acc"] += m["d_real_aux_acc"]
-        if "penalty" in m:
-            s["D Penalty"] += m["penalty"]
-        if "norm_mean" in m:
-            s["D Layer Grad Norm Means"] += m["norm_mean"][self._torch_idx]
-            s["D Layer Grad Norm Stds"] += m["norm_std"][self._torch_idx]
-            s["D Layer Grad Norm Maxes"] += m["norm_max"][self._torch_idx]
-            s["Clipping Params"] += m["clipping"][self._torch_idx]
-            s["Grads Clipped"] += m["frac_clipped"][self._torch_idx]
-        if "is_sens" in m:
-            sens = m["is_sens"]
-            interval = self.logger.interval
-            s["IS Mean"] += sens
-            prev_min, prev_max = s["IS Min"], s["IS Max"]
-            if self.opt.imm_sens_per_param:
-                s["IS Min"] = jnp.where(
-                    jnp.asarray(prev_min) <= 1e-8, sens * interval,
-                    jnp.minimum(jnp.asarray(prev_min, jnp.float32), sens * interval))
-                s["IS Max"] = jnp.maximum(jnp.asarray(prev_max, jnp.float32),
-                                          sens * interval)
-            else:
-                pm = jnp.asarray(prev_min, jnp.float32)
-                s["IS Min"] = jnp.minimum(jnp.where(pm < 1e-8, 99999.0, pm),
-                                          sens * interval)
-                s["IS Max"] = jnp.maximum(jnp.asarray(prev_max, jnp.float32),
-                                          sens * interval)
+        if self.opt.train_d_until_threshold < 1e10:
+            self.logger.d_adv_loss = self.logger.d_adv_loss + m["d_adv_loss"]
+        if self._d_acc is None:
+            acc = dict(m)
+            if "is_sens" in m:
+                acc["is_sens_min"] = m["is_sens"]
+                acc["is_sens_max"] = m["is_sens"]
+            self._d_acc = acc
+        elif "is_sens" in m:
+            self._d_acc = self._comb_is(self._d_acc, m)
+        else:
+            self._d_acc = self._comb(self._d_acc, m)
 
     def _accumulate_g(self, m):
-        s = self.logger.stats
-        s["G Adv Loss"] += m["g_adv_loss"]
-        if "g_aux_loss" in m:
-            s["G Aux Loss"] += m["g_aux_loss"]
-            s["G Aux Acc"] += m["g_aux_acc"]
+        self._g_acc = m if self._g_acc is None else self._comb(self._g_acc, m)
 
     # ---------------- public surface ----------------
 
@@ -450,7 +477,27 @@ class Trainer:
         if ((batch_i + 1) * opt.batch_size) % opt.sample_every == 0:
             self.sample(epoch, batch_i)
 
+    def _fold_acc(self):
+        """Fold the per-batch accumulators into logger.stats (host-side)."""
+        interval = self.logger.interval
+        if self._d_acc is not None:
+            acc = {k: v for k, v in self._d_acc.items()
+                   if k not in ("is_sens_min", "is_sens_max")}
+            self._accumulate_sums(acc, self._g_acc or {}, None, 0)
+            if "is_sens_min" in self._d_acc:
+                # Reference displays interval extremes; pre-scale by interval
+                # so Logger.average() divides back to the raw value
+                # (train.py:331-338 semantics).
+                s = self.logger.stats
+                s["IS Min"] = np.asarray(
+                    jax.device_get(self._d_acc["is_sens_min"])) * interval
+                s["IS Max"] = np.asarray(
+                    jax.device_get(self._d_acc["is_sens_max"])) * interval
+        self._d_acc = None
+        self._g_acc = None
+
     def _flush_log(self, epoch, epoch_progress, print_dp=False):
+        self._fold_acc()
         # Rescale G stats by actual G train frequency (train.py:540-543).
         for stat in [k for k in self.logger.stats if k.startswith("G ")]:
             scale = 0 if self.logger.log_g_iter == 0 else \
@@ -517,6 +564,8 @@ class Trainer:
                     for batch_i in range(len(self.dataloader)):
                         x, y, counter = self._gather_next(*self._dev_data,
                                                           perm, counter)
+                        if self._dev_preprocess is not None:
+                            x = self._dev_preprocess(x, self._step_key())
                         self.train_batch(epoch, batch_i, x, y, use_dp=opt.use_dp)
                 else:
                     for batch_i, (x, y) in enumerate(self.dataloader):

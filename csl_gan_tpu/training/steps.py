@@ -92,7 +92,7 @@ class TrainStepBuilder:
         self.adaptive_stat = opt.adaptive_stat
         self.adaptive_scalar = opt.adaptive_scalar
         self.chunk = opt_get(opt, "per_sample_chunk", None)
-        self.use_pallas = bool(opt_get(opt, "pallas", True)) and self.chunk is None
+        self.use_pallas = bool(opt_get(opt, "pallas", False)) and self.chunk is None
         self.is_per_param = bool(opt.imm_sens_per_param)
         self.is_scaling_mode = opt.imm_sens_scaling_mode or "standard"
         self.moving_avg_beta = opt_get(opt, "moving_avg_beta", 0.9)
@@ -632,7 +632,8 @@ class TrainStepBuilder:
             return self._d_step_tmsv(state, x, y, pen_x, pen_y, rng)
         return self._d_step_plain(state, x, y, pen_x, pen_y, rng)
 
-    def build_segment_runner(self, use_dp: bool, mean_sample_fn=None):
+    def build_segment_runner(self, use_dp: bool, mean_sample_fn=None,
+                             preprocess=None):
         """One jitted lax.scan over a whole logging interval of batches.
 
         The host dispatches ONCE per interval instead of ~15 ops per batch —
@@ -656,9 +657,11 @@ class TrainStepBuilder:
             def body(carry, inp):
                 state, rng = carry
                 i, g_on = inp
-                rng, k_d, k_g, k_pen, k_ad = jax.random.split(rng, 5)
+                rng, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng, 6)
                 idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,), (bs,))
                 x = images[idx]
+                if preprocess is not None:
+                    x = preprocess(x, k_pp)
                 y = labels[idx] if self.conditional else None
 
                 if need_pen and use_mean:

@@ -155,3 +155,25 @@ def test_mean_sampler_unconditional():
                      seed=0)
     imgs, labels = ms.sample(5)
     assert labels is None and imgs.shape == (5, 28, 28, 1)
+
+
+def test_celeba_decoded_cache(tmp_path):
+    ds = celeba_mod.CelebADataset("/nonexistent", im_size=16, length=12,
+                                  attr_file=None, attr="Male")
+    u8, labels = ds.decoded_cache(cache_dir=str(tmp_path / "cache"))
+    assert u8.shape == (12, 16, 16, 3) and u8.dtype == np.uint8
+    assert labels.shape == (12,)
+    # cache reuse: second call maps the same file
+    u8b, _ = ds.decoded_cache(cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_array_equal(np.asarray(u8), np.asarray(u8b))
+
+
+def test_array_dataset_transform():
+    imgs = (np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3))
+    ds = ArrayDataset(imgs, np.zeros(2, np.int64),
+                      transform=lambda b: b.astype(np.float32) / 127.5 - 1.0)
+    x, y = ds[0]
+    assert x.dtype == np.float32 and x.min() >= -1 and x.max() <= 1
+    loader = Loader(ds, batch_size=2, shuffle=False)
+    xb, yb = loader.one_batch()
+    assert xb.dtype == np.float32 and xb.shape == (2, 4, 4, 3)

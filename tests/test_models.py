@@ -151,3 +151,14 @@ def test_aux_wasserstein_per_sample_sums_to_total():
 def test_wcgan_aux_loss_zero():
     labels = jnp.zeros((4,), jnp.int32)
     assert float(losses.aux_loss("WCGAN", "wasserstein", 1.0, jnp.ones((4, 2)), labels, 2)) == 0.0
+
+
+def test_mnist_dcresnet_shapes(tmp_path):
+    opt = parse(tmp_path, "MNIST", "--model", "DeepConvResNet", "--conditional")
+    (G, Gv), (D, Dv) = init_models(opt)
+    z = jnp.ones((2, opt.g_latent_dim))
+    y = jnp.zeros((2,), jnp.int32)
+    img, _ = G.apply(Gv, z, y, train=True, mutable=["batch_stats"])
+    assert img.shape == (2, 28, 28, 1)
+    out, aux = D.apply(Dv, img, y)
+    assert out.shape == (2, 1) and aux.shape == (2, 10)
