@@ -137,8 +137,6 @@ class Trainer:
                 self.dataset.label_true_count is not None:
             label1_prob = self.dataset.label_true_count / opt.train_set_size
 
-        if not hasattr(self, "_uint8_images"):
-            self._uint8_images = False
         self.builder = TrainStepBuilder(opt, self.G, self.D, label1_prob)
         self.state = self.builder.init_state(G_vars, D_vars)
         self.mesh = make_mesh(opt)
@@ -255,24 +253,10 @@ class Trainer:
                 self.mesh.put_replicated(
                     jnp.asarray(self.public_dataset.labels, jnp.int32)))
         if self.mean_sampler is not None:
-            ms = self.mean_sampler
             self._dev_mean = self.mesh.put_replicated(
-                jnp.asarray(ms.mean_samples, jnp.float32))
-            n_cls, n_samp = ms.mean_samples.shape[:2]
-
-            def dev_sample(samples, key, labels, size):
-                k1, k2, k3, k4 = jax.random.split(key, 4)
-                if labels is None:
-                    labels = jax.random.randint(k1, (size,), 0, n_cls)
-                # index with replacement (the host path permutes in blocks;
-                # distributionally equivalent surrogate sampling)
-                idx = jax.random.randint(k2, (size,), 0, n_samp)
-                r = samples[labels, idx]
-                r = r + 0.01 * jax.random.normal(k3, (size,) + (1,) * (r.ndim - 1))
-                r = r + 0.01 * jax.random.normal(k4, r.shape)
-                return r, labels
-
-            self._dev_mean_sample = jax.jit(dev_sample, static_argnums=(3,))
+                jnp.asarray(self.mean_sampler.mean_samples, jnp.float32))
+            self._dev_mean_sample = jax.jit(
+                self.mean_sampler.device_sample_fn(), static_argnums=(3,))
 
     # ---------------- per-batch helpers ----------------
 
@@ -343,7 +327,9 @@ class Trainer:
             mean_fn = (self.mean_sampler.device_sample_fn()
                        if self._dev_mean is not None else None)
             self._seg_runners[use_dp] = self.builder.build_segment_runner(
-                use_dp, mean_fn, preprocess=self._dev_preprocess)
+                use_dp, mean_fn, preprocess=self._dev_preprocess,
+                batch_sharding=(self.mesh.batch if self.mesh.n_devices > 1
+                                else None))
         return self._seg_runners[use_dp]
 
     def _accumulate_sums(self, d_sums, g_sums, g_count, seg_len):

@@ -633,7 +633,7 @@ class TrainStepBuilder:
         return self._d_step_plain(state, x, y, pen_x, pen_y, rng)
 
     def build_segment_runner(self, use_dp: bool, mean_sample_fn=None,
-                             preprocess=None):
+                             preprocess=None, batch_sharding=None):
         """One jitted lax.scan over a whole logging interval of batches.
 
         The host dispatches ONCE per interval instead of ~15 ops per batch —
@@ -660,9 +660,16 @@ class TrainStepBuilder:
                 rng, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng, 6)
                 idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,), (bs,))
                 x = images[idx]
+                y = labels[idx] if self.conditional else None
+                if batch_sharding is not None:
+                    # Shard the gathered batch over the mesh's data axis so
+                    # the per-sample-grad work actually parallelizes (the
+                    # dataset itself is replicated).
+                    x = jax.lax.with_sharding_constraint(x, batch_sharding)
+                    if y is not None:
+                        y = jax.lax.with_sharding_constraint(y, batch_sharding)
                 if preprocess is not None:
                     x = preprocess(x, k_pp)
-                y = labels[idx] if self.conditional else None
 
                 if need_pen and use_mean:
                     pen_x, pen_y = mean_sample_fn(mean_samples, k_pen, y, bs)

@@ -120,3 +120,32 @@ def test_trainer_scan_vs_host_loop_losses(tmp_path):
         assert len(rows) >= 2
         vals = [float(v) for v in rows[-1][2:]]
         assert all(np.isfinite(v) for v in vals)
+
+
+def test_scan_with_mesh_sharding_matches(tmp_path):
+    """Segment runner with a data-axis sharding constraint over the 8-device
+    mesh must match the unsharded result."""
+    from csl_gan_tpu.parallel import make_mesh
+    ctx = make_mesh(n=8)
+    opt, builder, state = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0", bs=16)
+    images, labels = make_data(n=64, bs=16)
+    perm = jnp.arange(64)
+    g_mask = jnp.asarray([True, False, True])
+    rng = jax.random.PRNGKey(11)
+
+    r_plain = builder.build_segment_runner(use_dp=True)
+    s1, *_ = r_plain(state, rng, images, labels, perm, 0, g_mask, jnp.zeros(()))
+
+    _, builder2, state2 = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0", bs=16)
+    r_shard = builder2.build_segment_runner(use_dp=True,
+                                            batch_sharding=ctx.batch)
+    state2 = ctx.put_replicated(state2)
+    s2, *_ = r_shard(state2, rng, ctx.put_replicated(images),
+                     ctx.put_replicated(labels), ctx.put_replicated(perm),
+                     0, g_mask, jnp.zeros(()))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(s2.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
