@@ -52,9 +52,15 @@ def bench_jax() -> float:
     assert trainer._scan_mode(), "bench expects the device-side scan path"
     steps_per_epoch = len(trainer.dataloader)
 
+    def force():
+        # On this backend block_until_ready can return before the program
+        # finishes; pulling a param value forces full execution.
+        float(jax.device_get(
+            jax.tree_util.tree_leaves(trainer.state.d_params)[0].ravel()[0]))
+
     t0 = time.perf_counter()
     trainer._epoch_scan(0)
-    jax.block_until_ready(trainer.state.d_params)
+    force()
     log(f"compile + first epoch: {time.perf_counter() - t0:.1f}s")
 
     # Tunneled-TPU variance: best of several trials.
@@ -66,7 +72,7 @@ def bench_jax() -> float:
         for _ in range(n_epochs):
             trainer._epoch_scan(e)
             e += 1
-        jax.block_until_ready(trainer.state.d_params)
+        force()
         best = min(best, (time.perf_counter() - t0) / n_epochs)
     sps = steps_per_epoch * BATCH / best
     log(f"steady state (best of {n_trials}): {best * 1e3:.1f} ms/epoch "

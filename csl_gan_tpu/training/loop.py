@@ -347,7 +347,8 @@ class Trainer:
             s["D Layer Grad Norm Means"] += d_sums["norm_mean"][self._torch_idx]
             s["D Layer Grad Norm Stds"] += d_sums["norm_std"][self._torch_idx]
             s["D Layer Grad Norm Maxes"] += d_sums["norm_max"][self._torch_idx]
-            s["Clipping Params"] += d_sums["clipping"][self._torch_idx]
+            c = d_sums["clipping"]
+            s["Clipping Params"] += c[self._torch_idx] if c.ndim else c
             s["Grads Clipped"] += d_sums["frac_clipped"][self._torch_idx]
         if "is_sens" in d_sums:
             # Scan mode logs interval means for IS (min/max degenerate to the

@@ -286,10 +286,36 @@ class TrainStepBuilder:
 
     # ---------------- D step: gradient-clipping DP ----------------
 
-    def _real_ps_args(self, x, y, row_w):
-        """(loss_fn, batch_args) for the per-sample REAL pass."""
+    def _ps_penalty_one(self, d_params, xi, yi, fi, ki):
+        """Per-sample gradient penalty on one (real, fake) pair — the
+        reference's per-sample penalty path (train.py:438-450), folded into
+        the per-sample loss so clipping provably covers it."""
+        yy = None if yi is None else yi[None]
+        return penalty_mod.calc_penalty(
+            self._d_apply, d_params, self.penalty_types, xi[None], yy,
+            fi[None], yy, ki, aux_penalty=self.aux_penalty,
+            n_classes=self.n_classes)
+
+    def _real_ps_args(self, x, y, row_w, fake_img=None, pen_keys=None):
+        """(loss_fn, batch_args) for the per-sample REAL pass.
+
+        With `pen_keys` set (per-sample-penalty mode), each sample's loss
+        includes its own gradient penalty so the clip bounds it too.
+        """
+        with_pen = pen_keys is not None
         if self.conditional:
             w = row_w if row_w is not None else jnp.ones(x.shape[0])
+
+            if with_pen:
+                def f(d_params, xi, yi, wi, fi, ki):
+                    out, aux_o = self._d_apply(d_params, xi[None], yi[None],
+                                               bpc=True)
+                    l = losses.d_real_loss(self.family, out, "none")[0]
+                    l = l + self._aux_single(
+                        None if aux_o is None else aux_o[0], yi, wi, fake=False)
+                    return l + self._ps_penalty_one(d_params, xi, yi, fi, ki)
+
+                return f, (x, y, w, fake_img, pen_keys)
 
             def f(d_params, xi, yi, wi):
                 out, aux_o = self._d_apply(d_params, xi[None], yi[None], bpc=True)
@@ -299,19 +325,28 @@ class TrainStepBuilder:
 
             return f, (x, y, w)
 
+        if with_pen:
+            def f(d_params, xi, fi, ki):
+                out, _ = self._d_apply(d_params, xi[None], None, bpc=True)
+                return losses.d_real_loss(self.family, out, "none")[0] \
+                    + self._ps_penalty_one(d_params, xi, None, fi, ki)
+
+            return f, (x, fake_img, pen_keys)
+
         def f(d_params, xi):
             out, _ = self._d_apply(d_params, xi[None], None, bpc=True)
             return losses.d_real_loss(self.family, out, "none")[0]
 
         return f, (x,)
 
-    def _combined_ps_args(self, x, y, fake_img, row_w):
+    def _combined_ps_args(self, x, y, fake_img, row_w, pen_keys=None):
         """(loss_fn, batch_args) for real+fake combined per-sample clipping
         (grad_clip_split=False / accum_passes semantics)."""
+        with_pen = pen_keys is not None
         if self.conditional:
             w = row_w if row_w is not None else jnp.ones(x.shape[0])
 
-            def f(d_params, xi, yi, fi, wi):
+            def f(d_params, xi, yi, fi, wi, *pen):
                 r_out, r_aux = self._d_apply(d_params, xi[None], yi[None], bpc=True)
                 f_out, f_aux = self._d_apply(d_params, fi[None], yi[None],
                                              aux=self.d_fake_aux, bpc=True)
@@ -322,17 +357,23 @@ class TrainStepBuilder:
                 if self.d_fake_aux:
                     l = l + self._aux_single(None if f_aux is None else f_aux[0],
                                              yi, wi, fake=True)
+                if pen:
+                    l = l + self._ps_penalty_one(d_params, xi, yi, fi, pen[0])
                 return l
 
-            return f, (x, y, fake_img, w)
+            args = (x, y, fake_img, w) + ((pen_keys,) if with_pen else ())
+            return f, args
 
-        def f(d_params, xi, fi):
+        def f(d_params, xi, fi, *pen):
             r_out, _ = self._d_apply(d_params, xi[None], None, bpc=True)
             f_out, _ = self._d_apply(d_params, fi[None], None, bpc=True)
-            return losses.d_real_loss(self.family, r_out, "none")[0] \
+            l = losses.d_real_loss(self.family, r_out, "none")[0] \
                 + losses.d_fake_loss(self.family, f_out, "none")[0]
+            if pen:
+                l = l + self._ps_penalty_one(d_params, xi, None, fi, pen[0])
+            return l
 
-        return f, (x, fake_img)
+        return f, (x, fake_img) + ((pen_keys,) if with_pen else ())
 
     def _adaptive_clipping(self, d_params, ax, ay):
         """New clip thresholds from public/mean-batch per-sample grad norms
@@ -365,9 +406,15 @@ class TrainStepBuilder:
         fused = (k_noise, self.sigma) if (
             self.use_pallas and jax.default_backend() == "tpu") else None
 
+        # Per-sample penalty mode (penalty on sensitive data, no public
+        # surrogate): fold each sample's penalty into its per-sample loss so
+        # the clip bounds it (reference train.py:438-450 semantics).
+        ps_pen = bool(self.penalty_types) and not self.opt.penalty_use_public_data
+        pen_keys = jax.random.split(k_pen, b) if ps_pen else None
+
         if self.grad_clip_split:
             # Private real pass: per-sample clip; clean fake pass: sum grads.
-            f, args = self._real_ps_args(x, y, row_w)
+            f, args = self._real_ps_args(x, y, row_w, fake_img, pen_keys)
             summed, clip_stats = gops.clipped_grad_sum(
                 f, state.d_params, *args, max_norm=clipping,
                 per_layer=self.per_layer, chunk=self.chunk, fused_noise=fused)
@@ -385,7 +432,7 @@ class TrainStepBuilder:
                 fake_sum, has_aux=True)(state.d_params)
             total = jax.tree.map(jnp.add, summed, fake_grads)
         else:
-            f, args = self._combined_ps_args(x, y, fake_img, row_w)
+            f, args = self._combined_ps_args(x, y, fake_img, row_w, pen_keys)
             total, clip_stats = gops.clipped_grad_sum(
                 f, state.d_params, *args, max_norm=clipping,
                 per_layer=self.per_layer, chunk=self.chunk, fused_noise=fused)
@@ -393,7 +440,14 @@ class TrainStepBuilder:
                                      aux=False)
 
         pen_value = jnp.asarray(0.0)
-        if self.penalty_types:
+        if self.penalty_types and ps_pen:
+            # Already clipped inside the per-sample losses; recompute the
+            # batch value once for logging only.
+            pen_value = penalty_mod.calc_penalty(
+                self._d_apply, state.d_params, self.penalty_types, pen_x,
+                pen_y, fake_img, y, k_pen, aux_penalty=self.aux_penalty,
+                n_classes=self.n_classes)
+        elif self.penalty_types:
             # Public/mean-sample penalty: plain grad added to the summed grads
             # scaled by batch size (train.py:423-431).
             pen_value, pen_grads = self._penalty_grads(
@@ -420,8 +474,9 @@ class TrainStepBuilder:
             "norm_std": clip_stats.norm_std,
             "norm_max": clip_stats.norm_max,
             "frac_clipped": clip_stats.frac_clipped,
-            "clipping": clipping * jnp.ones(clip_stats.norm_mean.shape[0])
-            if not self.per_layer else clipping,
+            # scalar in flat mode (the reference logs max_grad_norm as-is,
+            # train.py:321), per-layer vector otherwise
+            "clipping": clipping,
         })
         new_state = state.replace(d_params=d_params, d_opt_state=d_opt,
                                   g_batch_stats=g_stats)

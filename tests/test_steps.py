@@ -191,3 +191,39 @@ def test_wcgan_step(tmp_path):
     s3, gm = builder.g_step(s2, jax.random.PRNGKey(20))
     assert np.isfinite(float(m["d_adv_loss"]))
     assert np.isfinite(float(gm["g_adv_loss"]))
+
+
+def test_per_sample_penalty_is_clipped(tmp_path):
+    """Penalty on sensitive data (-pupd false) must be inside the clip bound:
+    total summed grad norm <= B*C even with a large penalty term (the
+    reference adds per-sample penalty grads before clipping too,
+    train.py:438-450)."""
+    from csl_gan_tpu.ops.grads import global_norm
+    C = 0.05
+    opt, builder, state = make(tmp_path, "MNIST", "-dpm", "gc", "--sigma", "0",
+                               "-c", str(C), "--penalty", "WGAN-GP",
+                               "-pupd", "false", bs=8)
+    assert builder.penalty_types == ["WGAN-GP"]
+    x, _ = batch(30, b=8, conditional=False)
+    d_before = jax.device_get(state.d_params)
+    s2, m = builder.d_step_dp(state, x, None, x, None, x, None,
+                              jax.random.PRNGKey(31))
+    # With sigma=0, Adam step ~ lr * normalized grad; instead verify via the
+    # grad bound indirectly: rerun the internal pieces.
+    _, b2, st2 = make(tmp_path, "MNIST", "-dpm", "gc", "--sigma", "0",
+                      "-c", str(C), "--penalty", "WGAN-GP", "-pupd", "false", bs=8)
+    import jax.numpy as jnp
+    from csl_gan_tpu.ops import grads as gops
+    k_z, k_noise, k_pen = jax.random.split(jax.random.PRNGKey(31), 3)
+    z = b2.gen_z(k_z, 8)
+    fake_img, _ = b2._fake_images(st2, z, None)
+    pen_keys = jax.random.split(k_pen, 8)
+    f, args = b2._real_ps_args(x, None, None, fake_img, pen_keys)
+    summed, stats = gops.clipped_grad_sum(f, st2.d_params, *args, max_norm=C)
+    assert float(global_norm(summed)) <= 8 * C + 1e-5
+    # and the penalty is actually present: unclipped norms exceed the
+    # penalty-free ones
+    f0, args0 = b2._real_ps_args(x, None, None)
+    _, stats0 = gops.clipped_grad_sum(f0, st2.d_params, *args0, max_norm=1e9)
+    _, stats_pen = gops.clipped_grad_sum(f, st2.d_params, *args, max_norm=1e9)
+    assert float(stats_pen.norm_mean.sum()) != float(stats0.norm_mean.sum())
