@@ -108,6 +108,12 @@ class TrainStepBuilder:
 
         self.g_tx, self.d_tx = make_optimizers(opt)
         self.g_has_bn = None  # resolved in init_state
+        # Ghost clipping (ops/ghost.py): analytic per-sample norms + matmul
+        # sums for the all-Dense vanilla D — no [B, params] materialization.
+        from csl_gan_tpu.models.mnist import MNISTVanillaD
+        self.use_ghost = (isinstance(D, MNISTVanillaD)
+                          and self.dp_mode == "gc" and self.grad_clip_split
+                          and not self.use_bpc and self.chunk is None)
 
         # jitted entry points
         self.d_step_plain = jax.jit(self._d_step_plain, donate_argnums=(0,))
@@ -412,12 +418,26 @@ class TrainStepBuilder:
         ps_pen = bool(self.penalty_types) and not self.opt.penalty_use_public_data
         pen_keys = jax.random.split(k_pen, b) if ps_pen else None
 
+        noise_done = False
+        ghost_outs = None
         if self.grad_clip_split:
             # Private real pass: per-sample clip; clean fake pass: sum grads.
-            f, args = self._real_ps_args(x, y, row_w, fake_img, pen_keys)
-            summed, clip_stats = gops.clipped_grad_sum(
-                f, state.d_params, *args, max_norm=clipping,
-                per_layer=self.per_layer, chunk=self.chunk, fused_noise=fused)
+            if self.use_ghost and not ps_pen:
+                from csl_gan_tpu.ops import ghost
+                y_onehot = (jax.nn.one_hot(y, self.n_classes)
+                            if self.conditional else None)
+                aux_labels = y if (self.conditional and self.use_aux) else None
+                summed, clip_stats, ghost_outs = ghost.vanilla_real_ghost(
+                    state.d_params, x, y_onehot, aux_labels, self.aux_scalar,
+                    clipping, self.per_layer, noise=(k_noise, self.sigma))
+                noise_done = True
+            else:
+                f, args = self._real_ps_args(x, y, row_w, fake_img, pen_keys)
+                summed, clip_stats = gops.clipped_grad_sum(
+                    f, state.d_params, *args, max_norm=clipping,
+                    per_layer=self.per_layer, chunk=self.chunk,
+                    fused_noise=fused)
+                noise_done = fused is not None
 
             def fake_sum(d_params):
                 out, aux_o = self._d_apply(d_params, fake_img, y,
@@ -436,6 +456,7 @@ class TrainStepBuilder:
             total, clip_stats = gops.clipped_grad_sum(
                 f, state.d_params, *args, max_norm=clipping,
                 per_layer=self.per_layer, chunk=self.chunk, fused_noise=fused)
+            noise_done = fused is not None
             f_out, _ = self._d_apply(state.d_params, fake_img, y,
                                      aux=False)
 
@@ -454,7 +475,7 @@ class TrainStepBuilder:
                 state.d_params, pen_x, pen_y, fake_img, y, k_pen)
             total = jax.tree.map(lambda t, g: t + g * b, total, pen_grads)
 
-        if fused is None:
+        if not noise_done:
             total = gops.add_gaussian_noise(k_noise, total, self.sigma,
                                             clipping, per_layer=self.per_layer)
         grads = jax.tree.map(lambda t: t / b, total)
@@ -462,8 +483,12 @@ class TrainStepBuilder:
         updates, d_opt = self.d_tx.update(grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
 
-        # Metrics forward (real pass outputs for logging).
-        r_out, r_aux = self._d_apply(state.d_params, x, y)
+        # Metrics forward (real pass outputs for logging; ghost path already
+        # produced them).
+        if self.grad_clip_split and ghost_outs is not None:
+            r_out, r_aux = ghost_outs
+        else:
+            r_out, r_aux = self._d_apply(state.d_params, x, y)
         r_loss = losses.d_real_loss(self.family, r_out)
         f_loss = losses.d_fake_loss(self.family, f_out)
         r_aux_loss = self._aux_batch(r_aux, y, fake=False)
