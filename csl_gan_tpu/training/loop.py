@@ -315,11 +315,11 @@ class Trainer:
         return (self._dev_data is not None
                 and opt.train_d_until_threshold >= 1e10
                 and opt.public_set_size == 0
-                # DCResNet's scan-wrapped step can take ~10 min to compile
-                # on the remote-compile backend, so scan requires enough total
+                # DCResNet's scan-wrapped step takes minutes to compile on
+                # the remote-compile backend, so scan requires enough total
                 # steps to amortize; the Vanilla models compile in seconds.
                 and (opt.model == "Vanilla"
-                     or opt.n_epochs * len(self.dataloader) >= 20000)
+                     or opt.n_epochs * len(self.dataloader) >= 1000)
                 and not opt_get(opt, "host_loop", False))
 
     def _get_runner(self, use_dp: bool):
