@@ -162,3 +162,21 @@ def test_mnist_dcresnet_shapes(tmp_path):
     assert img.shape == (2, 28, 28, 1)
     out, aux = D.apply(Dv, img, y)
     assert out.shape == (2, 1) and aux.shape == (2, 10)
+
+
+def test_g_embed_mode(tmp_path):
+    # DCResNet G with embed conditioning: z * Embed(y) (DCResNet_models.py:91)
+    opt = parse(tmp_path, "MNIST", "--model", "DeepConvResNet", "--conditional",
+                "--g_label_emb_mode", "embed")
+    (G, Gv), _ = init_models(opt, init_D=False)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, opt.g_latent_dim))
+    img0, _ = G.apply(Gv, z, jnp.zeros((2,), jnp.int32), train=True,
+                      mutable=["batch_stats"])
+    img1, _ = G.apply(Gv, z, jnp.ones((2,), jnp.int32), train=True,
+                      mutable=["batch_stats"])
+    assert img0.shape == (2, 28, 28, 1)
+    assert not np.allclose(np.asarray(img0), np.asarray(img1))  # label matters
+    # embedding table exists with shape [n_classes, z_dim]
+    flat = jax.tree_util.tree_flatten_with_path(Gv["params"])[0]
+    emb = [l for p, l in flat if any("Embed" in str(k) for k in p)]
+    assert emb and emb[0].shape == (10, opt.g_latent_dim)
