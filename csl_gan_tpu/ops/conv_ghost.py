@@ -1,0 +1,236 @@
+"""Ghost (norm-factorized) per-sample clipping for the DCResNet discriminator.
+
+TPU-native fast path for the private REAL pass of the conv D (the reference's
+hot loop, train.py:386-399, runs Opacus hook-based per-sample grads there).
+Instead of materializing [batch, params] gradients (vmap path) or running a
+second per-sample backward (two-pass path), this computes per-sample gradient
+NORMS analytically from layer inputs and output cotangents, then forms the
+clip-weighted gradient sum as ONE standard batched backward per layer with the
+cotangents pre-scaled by the clip factors:
+
+    sum_i w_i g_W(i) = d/dW sum_i w_i loss_i   (w treated as constants)
+
+Per-sample conv-kernel norms use the im2col factorization g_W(i) = U_i^T C_i
+(U: unfolded patches [S, K], C: output cotangent [S, O]) with a per-layer
+choice between two evaluation orders (the "mixed ghost clipping" rule,
+Bu et al. 2022/2023, arXiv:2205.10683 / 2210.00038):
+
+    direct:  ||g_W(i)||^2 = || U_i^T C_i ||_F^2          cost S*K*O / sample
+    ghost:   ||g_W(i)||^2 = <U_i U_i^T, C_i C_i^T>       cost S^2*(K+O) / sample
+
+picking ghost iff S*(K+O) < K*O. Dense heads use the classic factorization
+||g_W(i)|| = ||a_i|| * ||c_i|| (Goodfellow 2015) like ops/ghost.py.
+
+Everything is one jitted computation: forward, head-loss cotangents
+(hand-derived for the wgan family — reference DCResNet_models.py:106-153 and
+models.py:51-67), layer-by-layer input backprop via jax.vjp, norms, clip
+factors, weighted sums, and (optionally) the DP noise. Exact-equivalence
+against ops/grads.clipped_grad_sum is pinned by tests/test_conv_ghost.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from csl_gan_tpu.ops.grads import ClipStats, add_gaussian_noise, clip_factors
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(a, kernel, stride, pad):
+    return lax.conv_general_dilated(
+        a, kernel, window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)], dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST)
+
+
+def _patches(a, kh, kw, stride, pad):
+    """im2col: [B, H', W', K] with K = kh*kw*Cin (ordering irrelevant: only
+    norms and Gram matrices are taken)."""
+    return lax.conv_general_dilated_patches(
+        a, filter_shape=(kh, kw), window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)], dimension_numbers=_DN,
+        precision=lax.Precision.HIGHEST)
+
+
+def _conv_kernel_sq_norms(a_prev, c_z, kh, kw, stride, pad):
+    """Per-sample squared Frobenius norm of the conv kernel gradient."""
+    b = a_prev.shape[0]
+    u = _patches(a_prev, kh, kw, stride, pad).reshape(b, -1, kh * kw * a_prev.shape[-1])
+    c = c_z.reshape(b, -1, c_z.shape[-1])
+    s, k, o = u.shape[1], u.shape[2], c.shape[2]
+    hp = jax.lax.Precision.HIGHEST
+    if s * (k + o) < k * o:
+        # ghost order: <U U^T, C C^T> — cheaper when the spatial extent is
+        # small relative to the kernel param count (deep layers).
+        gu = jnp.einsum("bsk,btk->bst", u, u, precision=hp)
+        gc = jnp.einsum("bso,bto->bst", c, c, precision=hp)
+        return jnp.einsum("bst,bst->b", gu, gc, precision=hp)
+    # direct order: materialize the [K, O] per-sample grad (small for early
+    # layers) and reduce.
+    g = jnp.einsum("bsk,bso->bko", u, c, precision=hp)
+    return jnp.sum(g ** 2, axis=(1, 2))
+
+
+def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
+                        *, n_classes: int, arch: str, aux_type: str,
+                        aux_scalar: float, row_w: Optional[jnp.ndarray],
+                        concat_planes: bool,
+                        max_norm, per_layer: bool,
+                        stride: int = 2, pad: int = 2,
+                        noise: Optional[Tuple[jax.Array, float]] = None):
+    """Clipped(+noised) summed gradient of the per-sample REAL wgan loss.
+
+    Per-sample loss_i = -out_i [+ aux terms per arch/aux_type — the exact
+    per-sample losses of steps._real_ps_args / models/losses.py].
+
+    d_params: the DCResNetDiscriminator param tree (TorchConv_i/Conv_0 convs,
+    optional linOut / linOutAux heads). Returns (summed_grads_tree, ClipStats,
+    (out, aux_out)); stats/factors are in tree-leaf order, matching
+    ops/grads.clipped_grad_sum.
+    """
+    b = x.shape[0]
+
+    conv_names = sorted((k for k in d_params if k.startswith("TorchConv_")),
+                        key=lambda s: int(s.rsplit("_", 1)[1]))
+    has_aux = "linOutAux" in d_params
+    has_lin_out = "linOut" in d_params
+
+    # ---- forward (matches DCResNetDiscriminator.__call__) ----
+    o = x
+    if concat_planes and n_classes > 1 and y is not None:
+        planes = jax.nn.one_hot(y, n_classes)[:, None, None, :]
+        planes = jnp.broadcast_to(
+            planes, (b, x.shape[1], x.shape[2], n_classes))
+        o = jnp.concatenate([o, planes], axis=-1)
+
+    acts = []   # per conv layer: (a_prev, z)
+    for name in conv_names:
+        p = d_params[name]["Conv_0"]
+        z = _conv(o, p["kernel"], stride, pad) + p["bias"]
+        acts.append((o, z))
+        o = jnp.where(z >= 0, z, 0.2 * z)      # leaky_relu(0.2)
+
+    flat = o.reshape(b, -1)
+
+    aux_out = None
+    if has_aux:
+        wa = d_params["linOutAux"]["kernel"]
+        aux_out = flat @ wa + d_params["linOutAux"]["bias"]
+    if has_aux and arch == "WCGAN":
+        onehot = jax.nn.one_hot(y, n_classes)
+        out = jnp.sum(aux_out * onehot, axis=1, keepdims=True)
+    else:
+        out = flat @ d_params["linOut"]["kernel"]
+
+    # ---- head cotangents (d per-sample-loss / d pre-activation) ----
+    # adversarial: loss_i = -out_i  =>  c_out = -1 (wgan real,
+    # models/losses.py d_real_loss).
+    c_out = -jnp.ones_like(out)
+    c_aux = None
+    if has_aux and arch == "WCGAN":
+        # out_i = aux_i . onehot_i; WCGAN aux loss is zero.
+        c_aux = -jax.nn.one_hot(y, n_classes)
+    elif has_aux:  # ACGAN
+        onehot = jax.nn.one_hot(y, n_classes)
+        if aux_type == "cross_entropy":
+            c_aux = aux_scalar * (jax.nn.softmax(aux_out, axis=-1) - onehot)
+        else:  # class-balanced +-sigmoid sum (models/losses.py aux_loss)
+            w_row = row_w if row_w is not None else jnp.ones((b,))
+            sign = onehot * (-2.0) + 1.0
+            sig = jax.nn.sigmoid(aux_out)
+            c_aux = aux_scalar * w_row[:, None] * sign * sig * (1.0 - sig)
+
+    c_flat = jnp.zeros_like(flat)
+    if has_lin_out and not (has_aux and arch == "WCGAN"):
+        c_flat = c_flat + c_out @ d_params["linOut"]["kernel"].T
+    if c_aux is not None:
+        c_flat = c_flat + c_aux @ d_params["linOutAux"]["kernel"].T
+
+    # ---- backprop input cotangents through the conv stack ----
+    # One vjp per layer, reused for the input cotangent AND (with the clip-
+    # scaled cotangent) the weighted kernel-grad sum; XLA CSEs the shared
+    # forward.
+    c_a = c_flat.reshape(o.shape)
+    cots = [None] * len(conv_names)   # cotangent of each conv's pre-activation
+    vjps = [None] * len(conv_names)
+    for li in reversed(range(len(conv_names))):
+        a_prev, z = acts[li]
+        c_z = c_a * jnp.where(z >= 0, 1.0, 0.2)
+        cots[li] = c_z
+        kernel = d_params[conv_names[li]]["Conv_0"]["kernel"]
+        _, vjps[li] = jax.vjp(
+            lambda a, k: _conv(a, k, stride, pad), a_prev, kernel)
+        if li > 0:
+            c_a, _ = vjps[li](c_z)
+
+    # ---- per-sample per-leaf squared norms + weighted-sum closures,
+    #      assembled in tree-leaf order via the params treedef ----
+    sq_by_path = {}
+    sum_by_path = {}
+    for li, name in enumerate(conv_names):
+        a_prev, _ = acts[li]
+        c_z = cots[li]
+        kh, kw = d_params[name]["Conv_0"]["kernel"].shape[:2]
+        sq_by_path[(name, "Conv_0", "kernel")] = _conv_kernel_sq_norms(
+            a_prev, c_z, kh, kw, stride, pad)
+        g_b = jnp.sum(c_z, axis=(1, 2))                          # [B, O]
+        sq_by_path[(name, "Conv_0", "bias")] = jnp.sum(g_b ** 2, axis=1)
+
+        def k_sum(w, vjp=vjps[li], c_z=c_z):
+            _, gw = vjp(c_z * w[:, None, None, None])
+            return gw
+
+        sum_by_path[(name, "Conv_0", "kernel")] = k_sum
+        sum_by_path[(name, "Conv_0", "bias")] = \
+            lambda w, g_b=g_b: jnp.sum(g_b * w[:, None], axis=0)
+
+    hp = jax.lax.Precision.HIGHEST
+    sq_flat = jnp.sum(flat ** 2, axis=1)
+    if has_lin_out and not (has_aux and arch == "WCGAN"):
+        sq_by_path[("linOut", "kernel")] = sq_flat * jnp.sum(c_out ** 2, axis=1)
+        sum_by_path[("linOut", "kernel")] = \
+            lambda w: jnp.einsum("bi,bo->io", flat * w[:, None], c_out,
+                                 precision=hp)
+    elif has_lin_out:
+        # WCGAN computes out from the aux head; linOut gets zero gradient.
+        sq_by_path[("linOut", "kernel")] = jnp.zeros((b,))
+        sum_by_path[("linOut", "kernel")] = \
+            lambda w: jnp.zeros_like(d_params["linOut"]["kernel"])
+    if c_aux is not None:
+        sq_ca = jnp.sum(c_aux ** 2, axis=1)
+        sq_by_path[("linOutAux", "bias")] = sq_ca
+        sq_by_path[("linOutAux", "kernel")] = sq_flat * sq_ca
+        sum_by_path[("linOutAux", "bias")] = \
+            lambda w: jnp.sum(c_aux * w[:, None], axis=0)
+        sum_by_path[("linOutAux", "kernel")] = \
+            lambda w: jnp.einsum("bi,bo->io", flat * w[:, None], c_aux,
+                                 precision=hp)
+
+    flat_paths, treedef = jax.tree_util.tree_flatten_with_path(d_params)
+    paths = [tuple(getattr(p, "key") for p in path)
+             for path, _leaf in flat_paths]
+    leaf_norms = jnp.stack([jnp.sqrt(jnp.maximum(sq_by_path[p], 0.0))
+                            for p in paths])                     # [L, B]
+    factors = clip_factors(leaf_norms, max_norm, per_layer)
+
+    summed = jax.tree_util.tree_unflatten(
+        treedef, [sum_by_path[p](factors[i]) for i, p in enumerate(paths)])
+
+    if noise is not None:
+        key, sigma = noise
+        summed = add_gaussian_noise(key, summed, sigma, max_norm,
+                                    per_layer=per_layer)
+
+    stats = ClipStats(
+        norm_mean=jnp.mean(leaf_norms, axis=1),
+        norm_std=jnp.std(leaf_norms, axis=1),
+        norm_max=jnp.max(leaf_norms, axis=1),
+        frac_clipped=jnp.mean((factors < 0.999).astype(jnp.float32), axis=1),
+    )
+    return summed, stats, (out, aux_out)

@@ -198,7 +198,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-wi", "--warmup_iter", type=int, default=0)
 
     parser.add_argument("--mean_sample_size", type=int, default=None)
-    parser.add_argument("--mean_sample_noise_std", type=int, default=None)
+    # The reference declares this flag as type=int (reference options.py:166),
+    # which silently forbids fractional noise stds from the CLI even though
+    # both per-dataset defaults are fractional — fixed divergence.
+    parser.add_argument("--mean_sample_noise_std", type=float, default=None)
 
     parser.add_argument("--delta", type=float, default=None)
     parser.add_argument("--sigma", type=float, default=None)
@@ -261,6 +264,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host_loop", type=str2bool, default=False,
                         help="Force the per-batch host loop instead of the "
                              "device-side interval scan.")
+    parser.add_argument("--conv_ghost", type=str2bool, default=True,
+                        help="Use analytic (im2col ghost-norm) per-sample "
+                             "clipping for the DCResNet discriminator's "
+                             "private pass instead of the generic "
+                             "vmap/two-pass paths.")
     parser.add_argument("--pallas", type=str2bool, default=False,
                         help="Use the fused Pallas clip+noise kernel on TPU. "
                              "Off by default: XLA algebraically fuses the "
@@ -326,6 +334,13 @@ def parse(argv=None) -> Namespace:
     opt.data_path = add_slash(opt.data_path)
     opt.resume_path = add_slash(opt.resume_path)
     opt.output_dir = add_slash(opt.output_dir)
+
+    # Whether the per-layer vectors were explicitly given on the CLI (vs
+    # filled from the per-dataset defaults below). Consumers use this to
+    # adapt the positional default to the actual model leaf structure
+    # (conditional aux head / 48px presets) instead of mis-mapping it.
+    opt.cpl_user_set = opt.clipping_param_per_layer is not None
+    opt.issv_user_set = opt.imm_sens_scaling_vec is not None
 
     if opt.resume_path is None:
         if opt.dataset == "MNIST":

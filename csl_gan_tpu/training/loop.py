@@ -204,6 +204,13 @@ class Trainer:
         self._seg_rng = self.mesh.put_replicated(
             jax.random.fold_in(self.root_key, 0x5E9))
         self._ms_dummy = self.mesh.put_replicated(jnp.zeros(()))
+        # train_d_until_threshold accumulator carried through the interval
+        # scan (persists across segments and epochs, like the host path's
+        # logger.d_adv_loss).
+        self._thresh_acc = self.mesh.put_replicated(jnp.zeros(()))
+        # True IS-sensitivity interval extremes in scan mode.
+        self._is_min = None
+        self._is_max = None
 
     # ---------------- device-resident data ----------------
 
@@ -310,10 +317,12 @@ class Trainer:
     def _scan_mode(self) -> bool:
         """Whole logging intervals run as one jitted lax.scan when the
         dataset is device-resident and all per-batch host decisions are
-        static (default threshold, no public-data paths)."""
+        static (no public-data paths). train_d_until_threshold gating is
+        jit-safe (a lax.cond on the carried D-loss average inside the scan,
+        steps.py build_segment_runner), so the flagship CelebA DP config
+        (threshold forced to -1) takes this path too."""
         opt = self.opt
         return (self._dev_data is not None
-                and opt.train_d_until_threshold >= 1e10
                 and opt.public_set_size == 0
                 # DCResNet's scan-wrapped step takes minutes to compile on
                 # the remote-compile backend, so scan requires enough total
@@ -351,11 +360,14 @@ class Trainer:
             s["Clipping Params"] += c[self._torch_idx] if c.ndim else c
             s["Grads Clipped"] += d_sums["frac_clipped"][self._torch_idx]
         if "is_sens" in d_sums:
-            # Scan mode logs interval means for IS (min/max degenerate to the
-            # mean of sums; the per-batch path tracks true extremes).
             s["IS Mean"] += d_sums["is_sens"]
-            s["IS Min"] += d_sums["is_sens"]
-            s["IS Max"] += d_sums["is_sens"]
+            # True extremes from the scan (steps.py segment runner); folded
+            # into the logger at flush time (min/max don't accumulate by +).
+            if "is_sens_min" in d_sums:
+                self._is_min = d_sums["is_sens_min"] if self._is_min is None \
+                    else jnp.minimum(self._is_min, d_sums["is_sens_min"])
+                self._is_max = d_sums["is_sens_max"] if self._is_max is None \
+                    else jnp.maximum(self._is_max, d_sums["is_sens_max"])
         gmap = {"g_adv_loss": "G Adv Loss", "g_aux_loss": "G Aux Loss",
                 "g_aux_acc": "G Aux Acc"}
         for k, name in gmap.items():
@@ -379,9 +391,10 @@ class Trainer:
             seg = cut - start
             g_mask = jnp.asarray(
                 np.arange(start, cut) % opt.n_d_steps == 0)
-            self.state, self._seg_rng, d_sums, g_sums, g_count = runner(
+            (self.state, self._seg_rng, d_sums, g_sums, g_count,
+             self._thresh_acc) = runner(
                 self.state, self._seg_rng, *self._dev_data, perm, start,
-                g_mask, ms)
+                g_mask, ms, self._thresh_acc)
             self._accumulate_sums(d_sums, g_sums, g_count, seg)
             if opt.use_dp and self.accountant is not None:
                 self.accountant.step(seg)
@@ -480,6 +493,12 @@ class Trainer:
                     jax.device_get(self._d_acc["is_sens_min"])) * interval
                 s["IS Max"] = np.asarray(
                     jax.device_get(self._d_acc["is_sens_max"])) * interval
+        if self._is_min is not None:  # scan-mode IS extremes
+            s = self.logger.stats
+            s["IS Min"] = np.asarray(jax.device_get(self._is_min)) * interval
+            s["IS Max"] = np.asarray(jax.device_get(self._is_max)) * interval
+            self._is_min = None
+            self._is_max = None
         self._d_acc = None
         self._g_acc = None
 

@@ -114,10 +114,22 @@ class TrainStepBuilder:
         self.use_ghost = (isinstance(D, MNISTVanillaD)
                           and self.dp_mode == "gc" and self.grad_clip_split
                           and not self.use_bpc and self.chunk is None)
+        # Conv ghost clipping (ops/conv_ghost.py): analytic per-sample norms
+        # (mixed im2col ghost/direct order) + per-layer weighted backward
+        # with clip-scaled cotangents — no [B, params] materialization and
+        # no per-sample backward at all. Covers flat AND per-layer clipping
+        # for the DCResNet D's private real pass.
+        from csl_gan_tpu.models.dcresnet import DCResNetDiscriminator
+        self.use_conv_ghost = (isinstance(D, DCResNetDiscriminator)
+                               and bool(opt_get(opt, "conv_ghost", True))
+                               and self.dp_mode == "gc" and self.grad_clip_split
+                               and not self.use_bpc and self.chunk is None)
         # Conv models with flat clipping: norms-only pass + single weighted
         # backward (no per-sample-grad re-read; ~12% faster and lower peak
-        # memory than the one-pass path on the CelebA D).
-        self.use_two_pass = (not self.use_ghost and self.family == "wgan"
+        # memory than the one-pass path on the CelebA D). Fallback when the
+        # conv ghost path is disabled (--conv_ghost false).
+        self.use_two_pass = (not self.use_ghost and not self.use_conv_ghost
+                             and self.family == "wgan"
                              and self.dp_mode == "gc" and not self.per_layer
                              and self.chunk is None and not self.use_bpc)
 
@@ -136,17 +148,20 @@ class TrainStepBuilder:
         n_leaves = len(jax.tree_util.tree_leaves(d_params))
 
         if self.per_layer:
-            cpl = opt_get(self.opt, "clipping_param_per_layer", None)
-            cpl = [1.0] * n_leaves if cpl is None else param_order.from_torch_order(cpl, d_params)
+            cpl = self._per_layer_vector(
+                d_params, n_leaves, "clipping_param_per_layer", "-cpl",
+                "cpl_user_set", param_order.default_clipping_per_layer,
+                fallback=[1.0] * n_leaves)
             clipping = jnp.asarray(cpl, jnp.float32)
         else:
             clipping = jnp.asarray(float(self.opt.clipping_param or 1.0), jnp.float32)
 
-        sv = opt_get(self.opt, "imm_sens_scaling_vec", None)
-        if self.is_scaling_mode != "standard" and sv is not None:
-            scaling_vec = jnp.asarray(param_order.from_torch_order(sv, d_params), jnp.float32)
-        elif self.is_scaling_mode != "standard":
-            scaling_vec = jnp.ones((n_leaves,), jnp.float32)
+        if self.is_scaling_mode != "standard":
+            sv = self._per_layer_vector(
+                d_params, n_leaves, "imm_sens_scaling_vec", "-issv",
+                "issv_user_set", param_order.default_is_scaling_per_layer,
+                fallback=[1.0] * n_leaves)
+            scaling_vec = jnp.asarray(sv, jnp.float32)
         else:
             scaling_vec = jnp.asarray(0.0, jnp.float32)
 
@@ -159,6 +174,40 @@ class TrainStepBuilder:
             clipping=clipping,
             scaling_vec=scaling_vec,
         )
+
+    def _per_layer_vector(self, d_params, n_leaves, flag, cli, user_set_flag,
+                          default_builder, fallback):
+        """Resolve a torch-order per-layer CLI vector into leaf order.
+
+        The reference's positional CelebA defaults fit only the 9-leaf
+        unconditional 64px D (reference options.py:79-80); when the stored
+        default mis-fits the actual model (conditional aux head, 48px), it
+        is rebuilt structure-aware (param_order.default_*). A USER-provided
+        vector of the wrong length is a config error, reported with the flag
+        name and the expected torch-order parameter list (the reference
+        crashes mid-step with an opaque index error instead).
+        """
+        vec = opt_get(self.opt, flag, None)
+        if vec is None:
+            return fallback
+        user_set = opt_get(self.opt, user_set_flag, None)
+        if user_set is None:
+            # Legacy opt.txt without the marker: treat the known dataset
+            # default as non-user-set.
+            from csl_gan_tpu.options import CELEBA_DEFAULTS
+            user_set = list(vec) != list(CELEBA_DEFAULTS.get(flag, []))
+        if not user_set:
+            # Always rebuild the dataset default by role: on the 48px
+            # conditional D the positional vector happens to have the right
+            # LENGTH (9) but maps head entries onto convs.
+            return default_builder(d_params)
+        if len(vec) != n_leaves:
+            names = ", ".join(param_order.torch_order_names(d_params))
+            raise ValueError(
+                f"--{flag} ({cli}) has {len(vec)} entries but the "
+                f"discriminator has {n_leaves} parameters; expected one "
+                f"entry per parameter in torch order: [{names}]")
+        return param_order.from_torch_order(vec, d_params)
 
     def reset_optimizers(self, state: TrainState) -> TrainState:
         """Fresh Adam state (reference re-inits optimizers post-warmup,
@@ -436,6 +485,18 @@ class TrainStepBuilder:
                 summed, clip_stats, ghost_outs = ghost.vanilla_real_ghost(
                     state.d_params, x, y_onehot, aux_labels, self.aux_scalar,
                     clipping, self.per_layer, noise=(k_noise, self.sigma))
+                noise_done = True
+            elif self.use_conv_ghost and not ps_pen:
+                from csl_gan_tpu.ops import conv_ghost
+                concat = (self.conditional and self.arch != "ACGAN"
+                          and opt_get(self.opt, "d_label_emb_mode",
+                                      "concat") == "concat")
+                summed, clip_stats, ghost_outs = conv_ghost.dcresnet_real_ghost(
+                    state.d_params, x, y, n_classes=self.n_classes,
+                    arch=self.arch, aux_type=self.aux_type,
+                    aux_scalar=self.aux_scalar, row_w=row_w,
+                    concat_planes=concat, max_norm=clipping,
+                    per_layer=self.per_layer, noise=(k_noise, self.sigma))
                 noise_done = True
             elif self.use_two_pass and not ps_pen:
                 f, args = self._real_ps_args(x, y, row_w)
@@ -730,24 +791,35 @@ class TrainStepBuilder:
         The host dispatches ONCE per interval instead of ~15 ops per batch —
         the difference between ~18 ms/step and device-limited throughput on
         dispatch-latency-heavy links (and the idiomatic XLA structure
-        everywhere). Gating of the G update (n_d_steps cadence) comes in as
-        a per-batch boolean mask (dynamic input, so interval length is the
-        only retrace key); train_d_until_threshold gating is host-side and
-        uses the per-batch path instead.
+        everywhere). Gating of the G update comes from two sources, both
+        jit-safe:
+          - the n_d_steps cadence, as a per-batch boolean mask (dynamic
+            input, so interval length is the only retrace key);
+          - train_d_until_threshold (reference train.py:521-533): the
+            running D adversarial-loss sum rides the scan carry and a
+            lax.cond skips the G update while its n_d_steps average is
+            above the threshold — so the flagship CelebA DP config
+            (threshold forced to -1, options.py) stays on this fast path.
 
         Returns f(state, rng, images, labels, perm, start, g_mask,
-        mean_samples) -> (state, rng, d_metric_sums, g_metric_sums, g_count).
-        `mean_samples` may be a dummy scalar when unused.
+        mean_samples, d_loss_acc) -> (state, rng, d_metric_sums,
+        g_metric_sums, g_count, d_loss_acc). `mean_samples` may be a dummy
+        scalar when unused; `d_loss_acc` is the threshold accumulator
+        carried across segments (pass zeros(()) when gating is off).
         """
         bs = self.opt.batch_size
         use_mean = mean_sample_fn is not None
         need_pen = bool(self.penalty_types)
         need_adapt = self.adaptive and use_dp
+        threshold = float(self.opt.train_d_until_threshold)
+        use_threshold = threshold < 1e10
+        n_d = max(1, int(self.opt.n_d_steps))
 
-        def run(state, rng, images, labels, perm, start, g_mask, mean_samples):
+        def run(state, rng, images, labels, perm, start, g_mask, mean_samples,
+                d_loss_acc):
             def body(carry, inp):
-                state, rng = carry
-                i, g_on = inp
+                state, rng, d_acc = carry
+                i, g_cad = inp
                 rng, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng, 6)
                 idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,), (bs,))
                 x = images[idx]
@@ -777,6 +849,11 @@ class TrainStepBuilder:
 
                 state, dm = self._d_core(state, x, y, pen_x, pen_y, ax, ay,
                                          k_d, use_dp)
+                d_acc = d_acc + dm["d_adv_loss"]
+                if use_threshold:
+                    g_on = jnp.logical_and(g_cad, d_acc / n_d < threshold)
+                else:
+                    g_on = g_cad
 
                 def do_g(st):
                     return self._g_step(st, k_g)
@@ -789,14 +866,25 @@ class TrainStepBuilder:
                     return st, zeros
 
                 state, gm = jax.lax.cond(g_on, do_g, skip_g, state)
-                return (state, rng), (dm, gm)
+                # The accumulator resets at every cadence point, trained or
+                # not (reference train.py:533 zeroes it after the decision).
+                d_acc = jnp.where(g_cad, 0.0, d_acc)
+                return (state, rng, d_acc), (dm, gm, g_on)
 
             n = g_mask.shape[0]
             xs = (jnp.arange(n), g_mask)
-            (state, rng), (dms, gms) = jax.lax.scan(body, (state, rng), xs)
+            (state, rng, d_loss_acc), (dms, gms, g_ons) = jax.lax.scan(
+                body, (state, rng, d_loss_acc), xs)
             d_sums = jax.tree.map(lambda a: jnp.sum(a, axis=0), dms)
+            if self.dp_mode == "is" and use_dp:
+                # True interval extremes for the IS sensitivity log columns
+                # (reference train.py:331-338) — computed from the stacked
+                # per-batch values, not degenerate means.
+                d_sums["is_sens_min"] = jnp.min(dms["is_sens"], axis=0)
+                d_sums["is_sens_max"] = jnp.max(dms["is_sens"], axis=0)
             g_sums = jax.tree.map(lambda a: jnp.sum(a, axis=0), gms)
-            return state, rng, d_sums, g_sums, jnp.sum(g_mask.astype(jnp.int32))
+            return (state, rng, d_sums, g_sums,
+                    jnp.sum(g_ons.astype(jnp.int32)), d_loss_acc)
 
         return jax.jit(run, donate_argnums=(0,))
 

@@ -46,8 +46,8 @@ def test_scan_matches_sequential_plain(tmp_path):
     rng = jax.random.PRNGKey(7)
 
     runner = builder.build_segment_runner(use_dp=False)
-    s_scan, _, d_sums, g_sums, g_count = runner(
-        state, rng, images, labels, perm, 0, g_mask, jnp.zeros(()))
+    s_scan, _, d_sums, g_sums, g_count, _ = runner(
+        state, rng, images, labels, perm, 0, g_mask, jnp.zeros(()), jnp.zeros(()))
     assert int(g_count) == 3
 
     _, builder2, state2 = setup(tmp_path, "--conditional")
@@ -72,7 +72,7 @@ def test_scan_matches_sequential_gc(tmp_path):
     rng = jax.random.PRNGKey(9)
 
     runner = builder.build_segment_runner(use_dp=True)
-    s_scan, *_ = runner(state, rng, images, labels, perm, 0, g_mask, jnp.zeros(()))
+    s_scan, *_ = runner(state, rng, images, labels, perm, 0, g_mask, jnp.zeros(()), jnp.zeros(()))
 
     _, builder2, state2 = setup(tmp_path, "--conditional", "-dpm", "gc",
                                 "--sigma", "0")
@@ -93,13 +93,62 @@ def test_scan_start_offset(tmp_path):
     runner = builder.build_segment_runner(use_dp=False)
     g1 = jnp.asarray([False])
     # run segment [2,3) from offset 2 vs manual on batch 2
-    s_scan, *_ = runner(state, rng, images, labels, perm, 2, g1, jnp.zeros(()))
+    s_scan, *_ = runner(state, rng, images, labels, perm, 2, g1, jnp.zeros(()), jnp.zeros(()))
     _, builder2, state2 = setup(tmp_path)
     rng2, k_d, *_ = jax.random.split(rng, 5)
     x = images[40:60]
     s_seq, _ = builder2._d_core(state2, x, None, x, None, x, None, k_d, False)
     for a, b in zip(jax.tree_util.tree_leaves(s_scan.d_params),
                     jax.tree_util.tree_leaves(s_seq.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_scan_threshold_gating_matches_host(tmp_path):
+    """train_d_until_threshold inside the scan must reproduce the host
+    per-batch gating (reference train.py:521-533): G trains only when the
+    n_d_steps-average D adv loss is below the threshold, and the
+    accumulator resets at every cadence point."""
+    n_d = 2
+    # Early MNIST D adv loss is ~2*ln2 ~= 1.386/batch. At cadence point 0 the
+    # accumulator holds ONE batch (host quirk kept), so avg ~= 0.69 < 0.8
+    # trains G; later points average two batches (~1.39 > 0.8) and skip.
+    thresh = 0.8
+    args = ["--conditional", "--n_d_steps", str(n_d),
+            "--train_d_until_threshold", str(thresh)]
+    opt, builder, state = setup(tmp_path, *args)
+    images, labels = make_data()
+    perm = jnp.arange(100)
+    g_mask = jnp.asarray([i % n_d == 0 for i in range(5)])
+    rng = jax.random.PRNGKey(13)
+
+    runner = builder.build_segment_runner(use_dp=False)
+    s_scan, _, _, _, g_count, acc_out = runner(
+        state, rng, images, labels, perm, 0, g_mask, jnp.zeros(()),
+        jnp.zeros(()))
+
+    # Host replica of train_batch's gating (loop.py train_batch).
+    _, builder2, state2 = setup(tmp_path, *args)
+    rng2 = rng
+    acc = 0.0
+    g_trained = 0
+    bs = builder2.opt.batch_size
+    for i in range(5):
+        rng2, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng2, 6)
+        x = images[perm[i * bs:(i + 1) * bs]]
+        y = labels[perm[i * bs:(i + 1) * bs]]
+        state2, m = builder2._d_core(state2, x, y, x, y, x, y, k_d, False)
+        acc += float(m["d_adv_loss"])
+        if i % n_d == 0:
+            if acc / n_d < thresh:
+                state2, _ = builder2._g_step(state2, k_g)
+                g_trained += 1
+            acc = 0.0
+    assert int(g_count) == g_trained
+    assert 0 < g_trained < 3  # the threshold actually bites both ways
+    np.testing.assert_allclose(float(acc_out), acc, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_scan.g_params),
+                    jax.tree_util.tree_leaves(state2.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
 
@@ -135,7 +184,7 @@ def test_scan_with_mesh_sharding_matches(tmp_path):
     rng = jax.random.PRNGKey(11)
 
     r_plain = builder.build_segment_runner(use_dp=True)
-    s1, *_ = r_plain(state, rng, images, labels, perm, 0, g_mask, jnp.zeros(()))
+    s1, *_ = r_plain(state, rng, images, labels, perm, 0, g_mask, jnp.zeros(()), jnp.zeros(()))
 
     _, builder2, state2 = setup(tmp_path, "--conditional", "-dpm", "gc",
                                 "--sigma", "0", bs=16)
@@ -144,7 +193,7 @@ def test_scan_with_mesh_sharding_matches(tmp_path):
     state2 = ctx.put_replicated(state2)
     s2, *_ = r_shard(state2, rng, ctx.put_replicated(images),
                      ctx.put_replicated(labels), ctx.put_replicated(perm),
-                     0, g_mask, jnp.zeros(()))
+                     0, g_mask, jnp.zeros(()), jnp.zeros(()))
     for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
                     jax.tree_util.tree_leaves(s2.d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
