@@ -43,7 +43,9 @@ def main(argv=None):
     state, _ = checkpoint.load_g(path + "saves/G-" + str(args.epochs), state)
 
     key = jax.random.PRNGKey(0)
-    n_batches = max(1, args.num_samples // args.batch_size)
+    # Full batches are generated (one jit shape), then trimmed to exactly
+    # num_samples (the reference drops the remainder: gensamples.py:29).
+    n_batches = -(-args.num_samples // args.batch_size)
     count = 0
     for i in range(n_batches):
         kz, ky, key = jax.random.split(jax.random.fold_in(key, i), 3)
@@ -53,6 +55,8 @@ def main(argv=None):
         if train_opt.dataset == "CelebA":
             imgs = denorm_celeba(imgs)
         for k in range(imgs.shape[0]):
+            if count >= args.num_samples:
+                break
             count += 1
             save_image(imgs[k], os.path.join(output_dir, f"{count}.png"))
     print(f"Wrote {count} samples to {output_dir}")

@@ -54,6 +54,15 @@ def test_gensamples_cli(run_dir):
     assert len(os.listdir(outdir)) == 6
 
 
+def test_gensamples_remainder(run_dir):
+    """num_samples not a multiple of batch_size writes exactly num_samples
+    (the reference drops the remainder batch, gensamples.py:29)."""
+    gensamples.main([run_dir, "-e", "1", "-n", "7", "-bs", "3"])
+    assert len(os.listdir(run_dir + "G-1-samples/")) == 7
+    gensamples.main([run_dir, "-e", "1", "-n", "2", "-bs", "5"])
+    assert len(os.listdir(run_dir + "G-1-samples/")) == 7  # 2 < 7 files kept
+
+
 def test_temp_file_cli(run_dir, capsys):
     temp_file.main([run_dir, "-e", "1"])
     assert "Loaded epoch" in capsys.readouterr().out
