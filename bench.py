@@ -80,6 +80,171 @@ def bench_jax() -> float:
     return sps
 
 
+def bench_celeba_jax() -> float:
+    """CelebA flagship D step (DCResNet WGAN-GP + ACGAN aux, bs=128, gc DP,
+    conv ghost clipping — BASELINE.md config #5's conv workload)."""
+    import jax
+
+    from csl_gan_tpu import options
+    from csl_gan_tpu.models.registry import init_models
+    from csl_gan_tpu.training.steps import TrainStepBuilder
+
+    b = 128
+    opt = options.parse([
+        "CelebA", "--conditional", "-dpm", "gc", "-bs", str(b),
+        "--manual_seed", "7", "-nms", "1", "--mean_sample_size", "8",
+        "-o", "/tmp/bench_celeba"])
+    (G, Gv), (D, Dv) = init_models(opt)
+    builder = TrainStepBuilder(opt, G, D)
+    assert builder.use_conv_ghost
+    state = builder.init_state(Gv, Dv)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (b, 64, 64, 3), minval=-1, maxval=1)
+    y = jax.random.randint(k, (b,), 0, 2)
+
+    t0 = time.perf_counter()
+    state, m = builder.d_step_dp(state, x, y, x, y, x, y, k)
+    float(jax.device_get(m["d_adv_loss"]))
+    log(f"celeba compile + first step: {time.perf_counter() - t0:.1f}s")
+
+    n_iters, n_trials = 20, 3
+    best = float("inf")
+    for t in range(n_trials):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            state, m = builder.d_step_dp(state, x, y, x, y, x, y,
+                                         jax.random.fold_in(k, t * 100 + i))
+        float(jax.device_get(m["d_adv_loss"]))  # force execution
+        best = min(best, (time.perf_counter() - t0) / n_iters)
+    sps = b / best
+    log(f"celeba steady state (best of {n_trials}): {best * 1e3:.2f} ms/step, "
+        f"{sps:,.0f} samples/s")
+    return sps
+
+
+def bench_celeba_torch_cpu() -> float:
+    """Same CelebA D-step math in torch on CPU: DCResNet G forward for the
+    fakes, per-sample-clipped real pass (vmap(grad), chunked), clean fake
+    pass, WGAN-GP double backward on the penalty batch, noise, Adam."""
+    import torch
+    import torch.nn.functional as F
+    from torch.func import functional_call, grad, vmap
+
+    torch.manual_seed(0)
+    b, z_dim, sigma, clip_c, n_classes, gp_lambda = 128, 128, 0.5, 200.0, 2, 10.0
+
+    class ResBlockUp(torch.nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.short = torch.nn.Conv2d(cin, cout, 1, padding=0)
+            self.n1 = torch.nn.GroupNorm(32, cin)
+            self.c1 = torch.nn.Conv2d(cin, cout, 5, padding=2, bias=False)
+            self.n2 = torch.nn.GroupNorm(32, cout)
+            self.c2 = torch.nn.Conv2d(cout, cout, 5, padding=2)
+
+        def forward(self, x):
+            up = F.interpolate(x, scale_factor=2, mode="nearest")
+            s = self.short(up)
+            o = self.c1(F.interpolate(F.relu(self.n1(x)), scale_factor=2,
+                                      mode="nearest"))
+            o = self.c2(F.relu(self.n2(o)))
+            return o + s
+
+    class G(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = torch.nn.Linear(z_dim + n_classes, 4 * 4 * 512)
+            self.blocks = torch.nn.ModuleList(
+                [ResBlockUp(512, 512), ResBlockUp(512, 256),
+                 ResBlockUp(256, 128), ResBlockUp(128, 64)])
+            self.out_norm = torch.nn.GroupNorm(32, 64)
+            self.out = torch.nn.Conv2d(64, 3, 3, padding=1)
+
+        def forward(self, z, y):
+            x = self.stem(torch.cat([z, F.one_hot(y, n_classes).float()], 1))
+            x = x.view(-1, 512, 4, 4)
+            for blk in self.blocks:
+                x = blk(x)
+            return torch.tanh(self.out(F.relu(self.out_norm(x))))
+
+    class D(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            chans = [3, 64, 128, 256, 512]
+            self.convs = torch.nn.ModuleList(
+                [torch.nn.Conv2d(chans[i], chans[i + 1], 5, 2, 2)
+                 for i in range(4)])
+            self.lin_out = torch.nn.Linear(4 * 4 * 512, 1, bias=False)
+            self.lin_aux = torch.nn.Linear(4 * 4 * 512, n_classes)
+
+        def forward(self, x, y=None):
+            for c in self.convs:
+                x = F.leaky_relu(c(x), 0.2)
+            h = x.reshape(x.size(0), -1)
+            return self.lin_out(h), self.lin_aux(h)
+
+    g, d = G(), D()
+    d_opt = torch.optim.Adam(d.parameters(), lr=1e-4, betas=(0.0, 0.9))
+    d_params = {k: v.detach() for k, v in d.named_parameters()}
+
+    x = torch.rand(b, 3, 64, 64) * 2 - 1
+    y = torch.randint(0, n_classes, (b,))
+    z = torch.randn(b, z_dim)
+    pen_x = torch.rand(b, 3, 64, 64) * 2 - 1
+
+    def real_loss_one(params, xi, sign_i, wi):
+        out, aux = functional_call(d, params, (xi.unsqueeze(0),))
+        aux_l = (sign_i * torch.sigmoid(aux[0])).sum() * wi  # ACGAN-wasserstein
+        return -out[0, 0] + aux_l
+
+    ps_grad = vmap(grad(real_loss_one), in_dims=(None, 0, 0, 0))
+
+    counts = F.one_hot(y, n_classes).float().sum(0)
+    row_w = 1.0 / counts[y].clamp(min=1.0)
+    signs = 1.0 - 2.0 * F.one_hot(y, n_classes).float()
+
+    def step():
+        fake = g(z, y).detach()
+        # per-sample clipped real pass, chunked (Opacus grad_sample math)
+        chunks = [ps_grad(d_params, x[i:i + 32], signs[i:i + 32],
+                          row_w[i:i + 32])
+                  for i in range(0, b, 32)]
+        ps = {k: torch.cat([c[k] for c in chunks]) for k in chunks[0]}
+        flat = torch.sqrt(sum(gp.reshape(b, -1).pow(2).sum(1)
+                              for gp in ps.values()))
+        factors = (clip_c / (flat + 1e-12)).clamp(max=1.0)
+        d_opt.zero_grad()
+        f_out, f_aux = d(fake)
+        fake_loss = b * (f_out.mean()
+                         + ((1.0 - 2.0 * F.one_hot(y, n_classes).float())
+                            * torch.sigmoid(f_aux) * row_w[:, None]).sum() / b)
+        fake_loss.backward()
+        # WGAN-GP on the penalty batch (double backward)
+        eps = torch.rand(b, 1, 1, 1)
+        xhat = (eps * pen_x + (1 - eps) * fake).requires_grad_(True)
+        o_hat, a_hat = d(xhat)
+        gsum = torch.autograd.grad(o_hat.sum() + a_hat.sum(), xhat,
+                                   create_graph=True)[0]
+        pen = gp_lambda * ((gsum.reshape(b, -1).norm(dim=1) - 1) ** 2).mean()
+        (b * pen).backward()
+        with torch.no_grad():
+            for name, p in d.named_parameters():
+                summed = (ps[name] * factors.view(-1, *([1] * (ps[name].dim() - 1)))).sum(0)
+                p.grad = (p.grad + summed
+                          + sigma * clip_c * torch.randn_like(p)) / b
+        d_opt.step()
+
+    step()  # warmup
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        step()
+    dt = (time.perf_counter() - t0) / n_iters
+    sps = b / dt
+    log(f"celeba torch-cpu baseline: {dt * 1e3:.0f} ms/step, {sps:,.1f} samples/s")
+    return sps
+
+
 def bench_torch_cpu() -> float:
     """Same step math in torch on CPU (reference-equivalent baseline)."""
     import torch
@@ -165,21 +330,42 @@ def bench_torch_cpu() -> float:
 
 
 def main():
-    value = bench_jax()
+    import contextlib
+    with contextlib.redirect_stdout(sys.stderr):
+        # library setup prints (synthetic-data notice, derived-flag notes)
+        # must not pollute the single-JSON-line stdout contract
+        value = bench_jax()
+        celeba_value = bench_celeba_jax()
+    cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            baseline = json.load(f)["samples_per_sec"]
+            cache = json.load(f)
+    if "samples_per_sec" in cache:
+        baseline = cache["samples_per_sec"]
         log(f"torch baseline (cached): {baseline:,.0f} samples/s")
     else:
-        baseline = bench_torch_cpu()
-        with open(BASELINE_CACHE, "w") as f:
-            json.dump({"samples_per_sec": baseline,
-                       "desc": "torch-cpu same-step-math MNIST cond gc bs600"}, f)
+        baseline = cache["samples_per_sec"] = bench_torch_cpu()
+        cache["desc"] = "torch-cpu same-step-math MNIST cond gc bs600"
+    if "celeba_samples_per_sec" in cache:
+        celeba_baseline = cache["celeba_samples_per_sec"]
+        log(f"celeba torch baseline (cached): {celeba_baseline:,.1f} samples/s")
+    else:
+        celeba_baseline = cache["celeba_samples_per_sec"] = bench_celeba_torch_cpu()
+        cache["celeba_desc"] = ("torch-cpu same-step-math CelebA DCResNet "
+                                "WGAN-GP cond gc bs128")
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f)
     print(json.dumps({
         "metric": "mnist_cond_dpgan_gc_train_throughput",
         "value": round(value, 1),
         "unit": "samples/sec/chip",
         "vs_baseline": round(value / baseline, 2),
+        # BASELINE.md config #5's conv workload (CelebA DCResNet WGAN-GP DP
+        # D step, bs=128, conv ghost clipping):
+        "celeba_metric": "celeba_dcresnet_wgangp_gc_d_step_throughput",
+        "celeba_value": round(celeba_value, 1),
+        "celeba_unit": "samples/sec/chip",
+        "celeba_vs_baseline": round(celeba_value / celeba_baseline, 2),
     }))
 
 

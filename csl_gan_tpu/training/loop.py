@@ -204,6 +204,13 @@ class Trainer:
         self._seg_rng = self.mesh.put_replicated(
             jax.random.fold_in(self.root_key, 0x5E9))
         self._ms_dummy = self.mesh.put_replicated(jnp.zeros(()))
+        # Profiling (-p): host-side section timers printed as a summary
+        # table at the end (reference prints a key-averages table,
+        # train.py:145-148), alongside the xplane trace.
+        self._timer = None
+        if opt_get(opt, "profile_training", False):
+            from csl_gan_tpu.training.profiling import SectionTimer
+            self._timer = SectionTimer()
         # train_d_until_threshold accumulator carried through the interval
         # scan (persists across segments and epochs, like the host path's
         # logger.d_adv_loss).
@@ -264,6 +271,18 @@ class Trainer:
                 jnp.asarray(self.mean_sampler.mean_samples, jnp.float32))
             self._dev_mean_sample = jax.jit(
                 self.mean_sampler.device_sample_fn(), static_argnums=(3,))
+
+    # ---------------- profiling helpers ----------------
+
+    def _section(self, name: str):
+        from contextlib import nullcontext
+        return self._timer.section(name) if self._timer else nullcontext()
+
+    def _force(self):
+        """Force device execution (for honest section timings; device_get,
+        not block_until_ready, which can return early on this backend)."""
+        if self._timer:
+            jax.device_get(jax.tree_util.tree_leaves(self.state.d_params)[0])
 
     # ---------------- per-batch helpers ----------------
 
@@ -391,18 +410,24 @@ class Trainer:
             seg = cut - start
             g_mask = jnp.asarray(
                 np.arange(start, cut) % opt.n_d_steps == 0)
-            (self.state, self._seg_rng, d_sums, g_sums, g_count,
-             self._thresh_acc) = runner(
-                self.state, self._seg_rng, *self._dev_data, perm, start,
-                g_mask, ms, self._thresh_acc)
+            with self._section("interval_scan"):
+                (self.state, self._seg_rng, d_sums, g_sums, g_count,
+                 self._thresh_acc) = runner(
+                    self.state, self._seg_rng, *self._dev_data, perm, start,
+                    g_mask, ms, self._thresh_acc)
+                self._force()
             self._accumulate_sums(d_sums, g_sums, g_count, seg)
             if opt.use_dp and self.accountant is not None:
-                self.accountant.step(seg)
+                with self._section("accounting"):
+                    self.accountant.step(seg)
             if (cut * bs) % opt.log_every == 0:
-                self._flush_log(epoch, 100 * (cut - 1) / self.batches_per_epoch,
-                                print_dp=opt.use_dp)
+                with self._section("log_flush"):
+                    self._flush_log(epoch,
+                                    100 * (cut - 1) / self.batches_per_epoch,
+                                    print_dp=opt.use_dp)
             if (cut * bs) % opt.sample_every == 0:
-                self.sample(epoch, cut - 1)
+                with self._section("sampling"):
+                    self.sample(epoch, cut - 1)
             start = cut
         return n - 1  # last batch index
 
@@ -457,7 +482,9 @@ class Trainer:
         """One train() call (train.py:521-546)."""
         opt = self.opt
         y = y if opt.conditional else None
-        m = self._d_step(x, y, use_dp)
+        with self._section("d_step"):
+            m = self._d_step(x, y, use_dp)
+            self._force()
         self._accumulate_d(m)
 
         if batch_i % opt.n_d_steps == 0:
@@ -467,15 +494,20 @@ class Trainer:
                 train_g = d_avg < opt.train_d_until_threshold
             if train_g:
                 self.logger.log_g_iter += 1
-                self.state, gm = self.builder.g_step(self.state, self._step_key())
+                with self._section("g_step"):
+                    self.state, gm = self.builder.g_step(self.state,
+                                                         self._step_key())
+                    self._force()
                 self._accumulate_g(gm)
             self.logger.d_adv_loss = 0.0
 
         if ((batch_i + 1) * opt.batch_size) % opt.log_every == 0:
-            self._flush_log(epoch, 100 * batch_i / self.batches_per_epoch,
-                            print_dp=use_dp)
+            with self._section("log_flush"):
+                self._flush_log(epoch, 100 * batch_i / self.batches_per_epoch,
+                                print_dp=use_dp)
         if ((batch_i + 1) * opt.batch_size) % opt.sample_every == 0:
-            self.sample(epoch, batch_i)
+            with self._section("sampling"):
+                self.sample(epoch, batch_i)
 
     def _fold_acc(self):
         """Fold the per-batch accumulators into logger.stats (host-side)."""
@@ -595,11 +627,16 @@ class Trainer:
                     break
 
                 if (epoch + 1) % opt.save_every == 0:
-                    self._save(epoch + 1, epoch)
+                    with self._section("checkpoint"):
+                        self._save(epoch + 1, epoch)
         finally:
             if profile_ctx is not None:
                 jax.profiler.stop_trace()
                 print("Profile trace written to", profile_ctx)
+            if self._timer is not None:
+                # Reference parity: a key-averages style summary table is
+                # printed when profiling (reference train.py:145-148).
+                print(self._timer.summary())
 
         print("Finished training.")
         self._save(epoch + 1, opt.n_epochs)

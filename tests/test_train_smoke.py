@@ -78,6 +78,17 @@ def test_mnist_epsilon_budget_stops(tmp_path):
     assert len(rows) < 20
 
 
+def test_profile_summary_table(tmp_path, capsys):
+    """-p prints the per-section summary table (reference key-averages
+    parity, train.py:145-148) and writes a trace dir."""
+    out = str(tmp_path / "prof")
+    train_cli.main(["MNIST", *BASE, "-p", "-o", out])
+    printed = capsys.readouterr().out
+    assert "Training profile (per-section wall-clock)" in printed
+    assert "interval_scan" in printed or "d_step" in printed
+    assert os.path.isdir(out + "/profile")
+
+
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
                     reason="CelebA DCResNet compile is minutes on CPU; "
                            "covered by the TPU smoke in CI/bench")
