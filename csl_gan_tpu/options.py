@@ -264,6 +264,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host_loop", type=str2bool, default=False,
                         help="Force the per-batch host loop instead of the "
                              "device-side interval scan.")
+    parser.add_argument("--poisson", type=str2bool, default=False,
+                        help="Exact Poisson subsampling: per-step "
+                             "Bernoulli(B/N) inclusion over the dataset "
+                             "(static-shape pad/mask), matching the RDP "
+                             "accountant's sampling assumption exactly. "
+                             "The reference (and the default here) shuffles "
+                             "fixed-size batches instead (SURVEY.md §2.1 "
+                             "caveat). gc mode only.")
     parser.add_argument("--conv_ghost", type=str2bool, default=True,
                         help="Use analytic (im2col ghost-norm) per-sample "
                              "clipping for the DCResNet discriminator's "
@@ -323,6 +331,10 @@ def derive_and_validate(opt) -> None:
               "clipping.")
     if (opt.g_label_emb_mode != "concat" or opt.d_label_emb_mode != "concat") and opt.model == "Vanilla":
         raise Exception("Vanilla model with embedded labels not implemented")
+    if opt.poisson and opt.dp_mode != "gc":
+        raise Exception("--poisson (exact Poisson subsampling) is only "
+                        "implemented for the gradient-clipping DP mode "
+                        "(-dpm gc).")
 
 
 def parse(argv=None) -> Namespace:

@@ -218,6 +218,24 @@ class Trainer:
         # True IS-sensitivity interval extremes in scan mode.
         self._is_min = None
         self._is_max = None
+        # Exact Poisson subsampling (--poisson): per-step device-side draw.
+        self._poisson_draw = None
+        if self.builder.poisson:
+            if self._dev_data is None:
+                raise Exception(
+                    "--poisson requires an in-memory (device-resident) "
+                    "dataset; this dataset is streamed from the host.")
+            q, cap = self.builder.poisson_q, self.builder.poisson_cap
+
+            def draw(images, labels, key):
+                incl = jax.random.bernoulli(key, q, (images.shape[0],))
+                order = jnp.argsort(jnp.logical_not(incl), stable=True)
+                idx = order[:cap]
+                count = jnp.sum(incl.astype(jnp.int32))
+                valid = (jnp.arange(cap) < count).astype(jnp.float32)
+                return images[idx], labels[idx], valid
+
+            self._poisson_draw = jax.jit(draw)
 
     # ---------------- device-resident data ----------------
 
@@ -431,7 +449,7 @@ class Trainer:
             start = cut
         return n - 1  # last batch index
 
-    def _d_step(self, x, y, use_dp: bool):
+    def _d_step(self, x, y, use_dp: bool, valid=None):
         opt = self.opt
         pen_x, pen_y = (self._penalty_data(x, y) if opt.penalty else (x, y))
         rng = self._step_key()
@@ -448,7 +466,7 @@ class Trainer:
                 else:
                     ax, ay = x, y
                 self.state, m = self.builder.d_step_dp(
-                    self.state, x, y, pen_x, pen_y, ax, ay, rng)
+                    self.state, x, y, pen_x, pen_y, ax, ay, rng, valid)
             else:
                 self.state, m = self.builder.d_step_dp(
                     self.state, x, y, pen_x, pen_y, rng)
@@ -478,12 +496,13 @@ class Trainer:
 
     # ---------------- public surface ----------------
 
-    def train_batch(self, epoch: int, batch_i: int, x, y, use_dp: bool):
+    def train_batch(self, epoch: int, batch_i: int, x, y, use_dp: bool,
+                    valid=None):
         """One train() call (train.py:521-546)."""
         opt = self.opt
         y = y if opt.conditional else None
         with self._section("d_step"):
-            m = self._d_step(x, y, use_dp)
+            m = self._d_step(x, y, use_dp, valid)
             self._force()
         self._accumulate_d(m)
 
@@ -600,11 +619,17 @@ class Trainer:
                                                          0xE90C + epoch))
                     counter = jnp.zeros((), jnp.int32)
                     for batch_i in range(len(self.dataloader)):
-                        x, y, counter = self._gather_next(*self._dev_data,
-                                                          perm, counter)
+                        valid = None
+                        if self._poisson_draw is not None and opt.use_dp:
+                            x, y, valid = self._poisson_draw(
+                                *self._dev_data, self._step_key())
+                        else:
+                            x, y, counter = self._gather_next(*self._dev_data,
+                                                              perm, counter)
                         if self._dev_preprocess is not None:
                             x = self._dev_preprocess(x, self._step_key())
-                        self.train_batch(epoch, batch_i, x, y, use_dp=opt.use_dp)
+                        self.train_batch(epoch, batch_i, x, y,
+                                         use_dp=opt.use_dp, valid=valid)
                 else:
                     for batch_i, (x, y) in enumerate(self.dataloader):
                         self.train_batch(epoch, batch_i, x, y, use_dp=opt.use_dp)

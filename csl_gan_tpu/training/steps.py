@@ -92,6 +92,18 @@ class TrainStepBuilder:
         self.adaptive_stat = opt.adaptive_stat
         self.adaptive_scalar = opt.adaptive_scalar
         self.chunk = opt_get(opt, "per_sample_chunk", None)
+        # Exact Poisson subsampling (--poisson): per-step Bernoulli(B/N)
+        # inclusion over the dataset, gathered into a static [cap] buffer
+        # with a validity mask — matches the accountant's sampling assumption
+        # exactly (the reference shuffles fixed-size batches; SURVEY.md §2.1
+        # caveat). Grad division and noise use the EXPECTED batch size B.
+        self.poisson = bool(opt_get(opt, "poisson", False))
+        if self.poisson:
+            import math
+            self.poisson_q = opt.batch_size / opt.train_set_size
+            # cap = B + 8*sqrt(B): overflow probability ~1e-15 (binomial tail)
+            self.poisson_cap = opt.batch_size + int(
+                math.ceil(8.0 * math.sqrt(opt.batch_size)))
         self.use_pallas = bool(opt_get(opt, "pallas", False)) and self.chunk is None
         self.is_per_param = bool(opt.imm_sens_per_param)
         self.is_scaling_mode = opt.imm_sens_scaling_mode or "standard"
@@ -113,7 +125,8 @@ class TrainStepBuilder:
         from csl_gan_tpu.models.mnist import MNISTVanillaD
         self.use_ghost = (isinstance(D, MNISTVanillaD)
                           and self.dp_mode == "gc" and self.grad_clip_split
-                          and not self.use_bpc and self.chunk is None)
+                          and not self.use_bpc and self.chunk is None
+                          and not self.poisson)
         # Conv ghost clipping (ops/conv_ghost.py): analytic per-sample norms
         # (mixed im2col ghost/direct order) + per-layer weighted backward
         # with clip-scaled cotangents — no [B, params] materialization and
@@ -123,7 +136,8 @@ class TrainStepBuilder:
         self.use_conv_ghost = (isinstance(D, DCResNetDiscriminator)
                                and bool(opt_get(opt, "conv_ghost", True))
                                and self.dp_mode == "gc" and self.grad_clip_split
-                               and not self.use_bpc and self.chunk is None)
+                               and not self.use_bpc and self.chunk is None
+                               and not self.poisson)
         # Conv models with flat clipping: norms-only pass + single weighted
         # backward (no per-sample-grad re-read; ~12% faster and lower peak
         # memory than the one-pass path on the CelebA D). Fallback when the
@@ -248,12 +262,15 @@ class TrainStepBuilder:
             return jax.random.bernoulli(key, self.label1_prob, (size,)).astype(jnp.int32)
         return jax.random.randint(key, (size,), 0, self.n_classes)
 
-    def _row_weights(self, y):
+    def _row_weights(self, y, valid=None):
         """Per-row 1/count-of-own-class, for the ACGAN-wasserstein aux loss's
-        cross-sample normalization under per-sample vmap."""
+        cross-sample normalization under per-sample vmap. With a Poisson
+        validity mask, counts run over the valid rows only."""
         if not (self.use_aux and self.aux_type == "wasserstein"):
             return None
         onehot = jax.nn.one_hot(y, self.n_classes)
+        if valid is not None:
+            onehot = onehot * valid[:, None]
         counts = jnp.sum(onehot, axis=0)
         return 1.0 / jnp.maximum(counts[y], 1.0)
 
@@ -289,19 +306,29 @@ class TrainStepBuilder:
     # ---------------- metrics ----------------
 
     def _d_metrics(self, real_out, fake_out, real_loss, fake_loss,
-                   real_aux_out, y, real_aux_loss, pen_value):
+                   real_aux_out, y, real_aux_loss, pen_value, valid=None):
+        if valid is None:
+            def vmean(t):
+                return jnp.mean(t.astype(jnp.float32))
+        else:
+            count = jnp.maximum(jnp.sum(valid), 1.0)
+
+            def vmean(t):
+                return jnp.sum(valid * t.reshape(valid.shape[0], -1).mean(-1)
+                               .astype(jnp.float32)) / count
+
         m = {
             "d_adv_loss": real_loss + fake_loss,
             "d_real_loss": real_loss,
             "d_fake_loss": fake_loss,
-            "d_real_acc": 100.0 * jnp.mean((real_out > 0).astype(jnp.float32)),
-            "d_fake_acc": 100.0 * jnp.mean((fake_out < 0).astype(jnp.float32)),
+            "d_real_acc": 100.0 * vmean(real_out > 0),
+            "d_fake_acc": 100.0 * vmean(fake_out < 0),
         }
         if self.use_aux:
             m["d_real_aux_loss"] = real_aux_loss
             if real_aux_out is not None:
-                m["d_real_aux_acc"] = 100.0 * jnp.mean(
-                    (jnp.argmax(real_aux_out, axis=1) == y).astype(jnp.float32))
+                m["d_real_aux_acc"] = 100.0 * vmean(
+                    jnp.argmax(real_aux_out, axis=1) == y)
             else:
                 m["d_real_aux_acc"] = jnp.asarray(0.0)
         if self.penalty_types:
@@ -436,6 +463,19 @@ class TrainStepBuilder:
 
         return f, (x, fake_img) + ((pen_keys,) if with_pen else ())
 
+    @staticmethod
+    def _mask_loss(f, args, valid):
+        """Multiply the per-sample loss by a validity weight: masked rows get
+        exactly zero gradient, so the clipped sum runs over valid rows only
+        (Poisson subsampling)."""
+        if valid is None:
+            return f, args
+
+        def masked(d_params, vi, *ex):
+            return vi * f(d_params, *ex)
+
+        return masked, (valid,) + args
+
     def _adaptive_clipping(self, d_params, ax, ay):
         """New clip thresholds from public/mean-batch per-sample grad norms
         (reference train.py:204-245; real-pass only, the grad_clip_split
@@ -450,12 +490,16 @@ class TrainStepBuilder:
             return stat * self.adaptive_scalar
         return jnp.sqrt(jnp.sum(stat ** 2)) * self.adaptive_scalar
 
-    def _d_step_gc(self, state: TrainState, x, y, pen_x, pen_y, ax, ay, rng):
+    def _d_step_gc(self, state: TrainState, x, y, pen_x, pen_y, ax, ay, rng,
+                   valid=None):
         b = x.shape[0]
+        # Under Poisson subsampling (valid mask set), division and penalty
+        # scaling use the EXPECTED batch size (standard Poisson DP-SGD).
+        b_eff = self.opt.batch_size if valid is not None else b
         k_z, k_noise, k_pen = jax.random.split(rng, 3)
         z = self.gen_z(k_z, b)
         fake_img, g_stats = self._fake_images(state, z, y)
-        row_w = self._row_weights(y) if self.conditional else None
+        row_w = self._row_weights(y, valid) if self.conditional else None
 
         clipping = state.clipping
         if self.adaptive:
@@ -500,11 +544,13 @@ class TrainStepBuilder:
                 noise_done = True
             elif self.use_two_pass and not ps_pen:
                 f, args = self._real_ps_args(x, y, row_w)
+                f, args = self._mask_loss(f, args, valid)
                 summed, clip_stats = gops.two_pass_clipped_grad_sum(
                     f, state.d_params, *args, max_norm=clipping,
                     per_layer=False)
             else:
                 f, args = self._real_ps_args(x, y, row_w, fake_img, pen_keys)
+                f, args = self._mask_loss(f, args, valid)
                 summed, clip_stats = gops.clipped_grad_sum(
                     f, state.d_params, *args, max_norm=clipping,
                     per_layer=self.per_layer, chunk=self.chunk,
@@ -514,10 +560,15 @@ class TrainStepBuilder:
             def fake_sum(d_params):
                 out, aux_o = self._d_apply(d_params, fake_img, y,
                                            aux=self.d_fake_aux, bpc=True)
-                l = jnp.sum(losses.d_fake_loss(self.family, out, "none"))
+                per = losses.d_fake_loss(self.family, out, "none")
+                if valid is not None:
+                    per = per * valid
+                l = jnp.sum(per)
                 if self.d_fake_aux and self.use_aux:
-                    per = self._aux_batch(aux_o, y, fake=True, reduction="none")
-                    l = l + jnp.sum(per)
+                    pa = self._aux_batch(aux_o, y, fake=True, reduction="none")
+                    if valid is not None:
+                        pa = pa * valid
+                    l = l + jnp.sum(pa)
                 return l, (out, aux_o)
 
             (_, (f_out, _f_aux)), fake_grads = jax.value_and_grad(
@@ -525,6 +576,7 @@ class TrainStepBuilder:
             total = jax.tree.map(jnp.add, summed, fake_grads)
         else:
             f, args = self._combined_ps_args(x, y, fake_img, row_w, pen_keys)
+            f, args = self._mask_loss(f, args, valid)
             total, clip_stats = gops.clipped_grad_sum(
                 f, state.d_params, *args, max_norm=clipping,
                 per_layer=self.per_layer, chunk=self.chunk, fused_noise=fused)
@@ -545,12 +597,12 @@ class TrainStepBuilder:
             # scaled by batch size (train.py:423-431).
             pen_value, pen_grads = self._penalty_grads(
                 state.d_params, pen_x, pen_y, fake_img, y, k_pen)
-            total = jax.tree.map(lambda t, g: t + g * b, total, pen_grads)
+            total = jax.tree.map(lambda t, g: t + g * b_eff, total, pen_grads)
 
         if not noise_done:
             total = gops.add_gaussian_noise(k_noise, total, self.sigma,
                                             clipping, per_layer=self.per_layer)
-        grads = jax.tree.map(lambda t: t / b, total)
+        grads = jax.tree.map(lambda t: t / b_eff, total)
 
         updates, d_opt = self.d_tx.update(grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)
@@ -561,11 +613,22 @@ class TrainStepBuilder:
             r_out, r_aux = ghost_outs
         else:
             r_out, r_aux = self._d_apply(state.d_params, x, y)
-        r_loss = losses.d_real_loss(self.family, r_out)
-        f_loss = losses.d_fake_loss(self.family, f_out)
-        r_aux_loss = self._aux_batch(r_aux, y, fake=False)
+        if valid is not None:
+            count = jnp.maximum(jnp.sum(valid), 1.0)
+            r_loss = jnp.sum(
+                valid * losses.d_real_loss(self.family, r_out, "none")) / count
+            f_loss = jnp.sum(
+                valid * losses.d_fake_loss(self.family, f_out, "none")) / count
+            r_aux_loss = jnp.sum(
+                valid * self._aux_batch(r_aux, y, fake=False,
+                                        reduction="none")) / count \
+                if self.use_aux else jnp.asarray(0.0)
+        else:
+            r_loss = losses.d_real_loss(self.family, r_out)
+            f_loss = losses.d_fake_loss(self.family, f_out)
+            r_aux_loss = self._aux_batch(r_aux, y, fake=False)
         metrics = self._d_metrics(r_out, f_out, r_loss, f_loss, r_aux, y,
-                                  r_aux_loss, pen_value)
+                                  r_aux_loss, pen_value, valid)
         metrics.update({
             "norm_mean": clip_stats.norm_mean,
             "norm_std": clip_stats.norm_std,
@@ -774,10 +837,12 @@ class TrainStepBuilder:
 
     # ---------------- segment runner (device-side interval scan) ---------
 
-    def _d_core(self, state, x, y, pen_x, pen_y, ax, ay, rng, use_dp: bool):
+    def _d_core(self, state, x, y, pen_x, pen_y, ax, ay, rng, use_dp: bool,
+                valid=None):
         """Static dispatch over the per-batch D update variants."""
         if use_dp and self.dp_mode == "gc":
-            return self._d_step_gc(state, x, y, pen_x, pen_y, ax, ay, rng)
+            return self._d_step_gc(state, x, y, pen_x, pen_y, ax, ay, rng,
+                                   valid)
         if use_dp and self.dp_mode == "is":
             return self._d_step_is(state, x, y, pen_x, pen_y, rng)
         if use_dp and self.dp_mode in ("tm", "sv"):
@@ -821,7 +886,22 @@ class TrainStepBuilder:
                 state, rng, d_acc = carry
                 i, g_cad = inp
                 rng, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng, 6)
-                idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,), (bs,))
+                valid = None
+                if use_dp and self.poisson:
+                    # Exact Poisson subsampling: Bernoulli(B/N) over the
+                    # dataset, included rows gathered (stable sort) into a
+                    # static [cap] buffer with a validity mask.
+                    k_poi = jax.random.fold_in(k_pp, 0x901)
+                    incl = jax.random.bernoulli(
+                        k_poi, self.poisson_q, (images.shape[0],))
+                    order = jnp.argsort(jnp.logical_not(incl), stable=True)
+                    idx = order[:self.poisson_cap]
+                    count = jnp.sum(incl.astype(jnp.int32))
+                    valid = (jnp.arange(self.poisson_cap) < count).astype(
+                        jnp.float32)
+                else:
+                    idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,),
+                                                (bs,))
                 x = images[idx]
                 y = labels[idx] if self.conditional else None
                 if batch_sharding is not None:
@@ -835,7 +915,8 @@ class TrainStepBuilder:
                     x = preprocess(x, k_pp)
 
                 if need_pen and use_mean:
-                    pen_x, pen_y = mean_sample_fn(mean_samples, k_pen, y, bs)
+                    pen_x, pen_y = mean_sample_fn(mean_samples, k_pen, y,
+                                                  x.shape[0])
                     if not self.conditional:
                         pen_y = None
                 else:
@@ -848,7 +929,7 @@ class TrainStepBuilder:
                     ax, ay = x, y
 
                 state, dm = self._d_core(state, x, y, pen_x, pen_y, ax, ay,
-                                         k_d, use_dp)
+                                         k_d, use_dp, valid)
                 d_acc = d_acc + dm["d_adv_loss"]
                 if use_threshold:
                     g_on = jnp.logical_and(g_cad, d_acc / n_d < threshold)

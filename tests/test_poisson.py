@@ -1,0 +1,120 @@
+"""Exact Poisson subsampling (--poisson) tests.
+
+A correctness capability the reference never had: fixed-size shuffled
+batches while the RDP accountant assumes Poisson sampling (SURVEY.md §2.1).
+With --poisson, each step draws Bernoulli(B/N) over the dataset into a
+static-shape buffer + validity mask; masked rows must contribute exactly
+zero, and an all-valid draw of exactly B rows must reproduce the fixed-batch
+step bit-for-math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csl_gan_tpu import options
+from csl_gan_tpu.models.registry import init_models
+from csl_gan_tpu.ops import grads as gops
+from csl_gan_tpu.training.steps import TrainStepBuilder
+
+
+def setup(tmp_path, *argv, bs=16):
+    opt = options.parse(["MNIST", *argv, "-o", str(tmp_path / "o"),
+                         "-bs", str(bs), "--manual_seed", "17"])
+    (G, Gv), (D, Dv) = init_models(opt)
+    b = TrainStepBuilder(opt, G, D)
+    return opt, b, b.init_state(Gv, Dv)
+
+
+def batch(bs=16, seed=0):
+    kx, ky = jax.random.split(jax.random.PRNGKey(seed))
+    return (jax.random.uniform(kx, (bs, 28, 28, 1)),
+            jax.random.randint(ky, (bs,), 0, 10))
+
+
+def test_poisson_requires_gc(tmp_path):
+    with pytest.raises(Exception, match="poisson"):
+        options.parse(["MNIST", "--poisson", "true", "-dpm", "is",
+                       "-o", str(tmp_path / "x")])
+
+
+def test_masked_step_equals_fixed_batch_step(tmp_path):
+    """All-valid Poisson draw of exactly B rows == the fixed-batch step."""
+    bs = 16
+    _, bp, sp = setup(tmp_path, "-dpm", "gc", "--conditional", "--sigma", "0",
+                      "--poisson", "true", bs=bs)
+    _, bf, sf = setup(tmp_path, "-dpm", "gc", "--conditional", "--sigma", "0",
+                      bs=bs)
+    bf.use_ghost = False  # compare against the generic path exactly
+    assert bp.poisson and not bp.use_ghost
+    x, y = batch(bs)
+    rng = jax.random.PRNGKey(4)
+    valid = jnp.ones((bs,))
+    np_state, _ = bp._d_step_gc(sp, x, y, x, y, x, y, rng, valid)
+    nf_state, _ = bf._d_step_gc(sf, x, y, x, y, x, y, rng)
+    for a, g in zip(jax.tree_util.tree_leaves(np_state.d_params),
+                    jax.tree_util.tree_leaves(nf_state.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(g),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_masked_rows_have_zero_influence(tmp_path):
+    """Two buffers identical on the valid rows but with different junk in the
+    masked rows step to identical parameters and metrics."""
+    bs = 16
+    opt, b, state = setup(tmp_path, "-dpm", "gc", "--conditional",
+                          "--sigma", "0", "--poisson", "true", bs=bs)
+    cap = bs + 8
+    x, y = batch(cap)
+    valid = jnp.asarray([1.0] * bs + [0.0] * (cap - bs))
+    x2 = x.at[bs:].set(123.0)   # junk masked rows
+    y2 = y.at[bs:].set(0)
+    rng = jax.random.PRNGKey(9)
+    s1, m1 = b._d_step_gc(state, x, y, x, y, x, y, rng, valid)
+    _, b2, state2 = setup(tmp_path, "-dpm", "gc", "--conditional",
+                          "--sigma", "0", "--poisson", "true", bs=bs)
+    s2, m2 = b2._d_step_gc(state2, x2, y2, x2, y2, x2, y2, rng, valid)
+    for a, g in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(s2.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(g),
+                                   rtol=1e-5, atol=1e-7)
+    for k in ("d_real_loss", "d_real_acc", "d_real_aux_acc"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5)
+
+
+def test_masked_clipped_sum_equals_subset_sum(tmp_path):
+    """clipped_grad_sum with a validity-masked loss == clipped_grad_sum over
+    the valid subset alone."""
+    bs, cap = 12, 20
+    opt, b, state = setup(tmp_path, "-dpm", "gc", "--conditional",
+                          "--poisson", "true", bs=bs)
+    x, y = batch(cap, seed=3)
+    valid = jnp.asarray([1.0] * bs + [0.0] * (cap - bs))
+    f, args = b._real_ps_args(x, y, None)
+    fm, argsm = b._mask_loss(f, args, valid)
+    got, _ = gops.clipped_grad_sum(fm, state.d_params, *argsm, max_norm=0.05)
+    fs, argss = b._real_ps_args(x[:bs], y[:bs], None)
+    want, _ = gops.clipped_grad_sum(fs, state.d_params, *argss, max_norm=0.05)
+    for a, g in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_poisson_train_cli_scan_and_host(tmp_path):
+    """End-to-end --poisson training via train.py on both loop modes."""
+    import csv
+    import train as train_cli
+    for mode, flag in [("scan", "false"), ("host", "true")]:
+        out = str(tmp_path / mode)
+        train_cli.main(["MNIST", "-tss", "200", "-ne", "2", "-bs", "50",
+                        "--manual_seed", "5", "-dpm", "gc", "--poisson", "true",
+                        "--log_every", "200", "--sample_every", "100000",
+                        "--save_every", "2", "--host_loop", flag, "-o", out])
+        with open(out + "/privacy_log.csv") as f:
+            rows = [r for r in csv.reader(f) if r and r[0] != "Epoch"]
+        assert len(rows) == 2
+        assert np.isfinite(float(rows[-1][1]))
+        with open(out + "/log.csv") as f:
+            lrows = [r for r in csv.reader(f) if r and r[0] != "Epoch"]
+        assert all(np.isfinite(float(v)) for v in lrows[-1][2:])

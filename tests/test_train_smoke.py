@@ -78,6 +78,22 @@ def test_mnist_epsilon_budget_stops(tmp_path):
     assert len(rows) < 20
 
 
+def test_mnist_dcresnet_gc_conditional(tmp_path):
+    """A conv (DCResNet/wgan-family) model end-to-end in the DEFAULT suite —
+    the MNIST DCRN preset compiles in seconds on CPU, unlike CelebA (which
+    stays RUN_SLOW-gated below). Exercises the conv-ghost clipping path,
+    WGAN losses, and the threshold gating through the real Trainer."""
+    out = str(tmp_path / "dcrn")
+    train_cli.main(["MNIST", "--model", "DeepConvResNet", "-tss", "100",
+                    "-ne", "1", "-bs", "25", "--manual_seed", "2",
+                    "-dpm", "gc", "--conditional", "-nms", "1",
+                    "--mean_sample_size", "5", "--log_every", "100",
+                    "--sample_every", "100000", "--save_every", "1",
+                    "--sample_num", "4", "-o", out])
+    assert os.path.exists(out + "/saves/G-1")
+    assert os.path.exists(out + "/privacy_log.csv")
+
+
 def test_profile_summary_table(tmp_path, capsys):
     """-p prints the per-section summary table (reference key-averages
     parity, train.py:145-148) and writes a trace dir."""
