@@ -80,9 +80,12 @@ def bench_jax() -> float:
     return sps
 
 
-def bench_celeba_jax() -> float:
+def bench_celeba_jax(bf16: bool = False) -> float:
     """CelebA flagship D step (DCResNet WGAN-GP + ACGAN aux, bs=128, gc DP,
-    conv ghost clipping — BASELINE.md config #5's conv workload)."""
+    conv ghost clipping — BASELINE.md config #5's conv workload).
+
+    bf16=True measures the --bf16 mixed-precision mode (fp32 params/clipping
+    arithmetic, bf16 MXU compute)."""
     import jax
 
     from csl_gan_tpu import options
@@ -93,7 +96,8 @@ def bench_celeba_jax() -> float:
     opt = options.parse([
         "CelebA", "--conditional", "-dpm", "gc", "-bs", str(b),
         "--manual_seed", "7", "-nms", "1", "--mean_sample_size", "8",
-        "-o", "/tmp/bench_celeba"])
+        "--bf16", "true" if bf16 else "false",
+        "-o", f"/tmp/bench_celeba{'_bf16' if bf16 else ''}"])
     (G, Gv), (D, Dv) = init_models(opt)
     builder = TrainStepBuilder(opt, G, D)
     assert builder.use_conv_ghost
@@ -117,8 +121,8 @@ def bench_celeba_jax() -> float:
         float(jax.device_get(m["d_adv_loss"]))  # force execution
         best = min(best, (time.perf_counter() - t0) / n_iters)
     sps = b / best
-    log(f"celeba steady state (best of {n_trials}): {best * 1e3:.2f} ms/step, "
-        f"{sps:,.0f} samples/s")
+    log(f"celeba{' bf16' if bf16 else ''} steady state (best of {n_trials}): "
+        f"{best * 1e3:.2f} ms/step, {sps:,.0f} samples/s")
     return sps
 
 
@@ -336,6 +340,7 @@ def main():
         # must not pollute the single-JSON-line stdout contract
         value = bench_jax()
         celeba_value = bench_celeba_jax()
+        celeba_bf16_value = bench_celeba_jax(bf16=True)
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -366,6 +371,9 @@ def main():
         "celeba_value": round(celeba_value, 1),
         "celeba_unit": "samples/sec/chip",
         "celeba_vs_baseline": round(celeba_value / celeba_baseline, 2),
+        # same workload under --bf16 (fp32 params + DP clipping arithmetic):
+        "celeba_bf16_value": round(celeba_bf16_value, 1),
+        "celeba_bf16_vs_baseline": round(celeba_bf16_value / celeba_baseline, 2),
     }))
 
 

@@ -32,15 +32,24 @@ def torch_kernel_init(in_axes=None):
 
 
 class TorchDense(nn.Module):
-    """nn.Linear with torch-default init."""
+    """nn.Linear with torch-default init.
+
+    `dtype` is the COMPUTE dtype (flax convention): params are stored fp32
+    and cast for the matmul — bf16 puts the contraction on the MXU fast path
+    with fp32 accumulation.
+    """
     features: int
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         bound = 1.0 / (fan_in ** 0.5)
         kernel = self.param("kernel", torch_kernel_init(), (fan_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
         if self.use_bias:
             bias = self.param(
@@ -53,12 +62,17 @@ class TorchDense(nn.Module):
 
 
 class TorchConv(nn.Module):
-    """nn.Conv2d (NHWC) with torch-default init."""
+    """nn.Conv2d (NHWC) with torch-default init.
+
+    `dtype` is the COMPUTE dtype (params stay fp32); bf16 convs hit the MXU
+    fast path with fp32 accumulation.
+    """
     features: int
     kernel_size: int
     strides: int = 1
     padding: str | int = "SAME"
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -74,6 +88,7 @@ class TorchConv(nn.Module):
             strides=(self.strides, self.strides),
             padding=pad,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_kernel_init(),
             bias_init=lambda k, s, d=jnp.float32: jax.random.uniform(k, s, d, -bound, bound),
         )(x)

@@ -31,11 +31,13 @@ class UpsampleConv(nn.Module):
     features: int
     kernel_size: int
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         return TorchConv(self.features, self.kernel_size, padding="SAME",
-                         use_bias=self.use_bias)(upsample_nearest_2x(x))
+                         use_bias=self.use_bias,
+                         dtype=self.dtype)(upsample_nearest_2x(x))
 
 
 class ResBlockUp(nn.Module):
@@ -43,25 +45,30 @@ class ResBlockUp(nn.Module):
     features: int
     kernel_size: int = 5
     bn: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        s = UpsampleConv(self.features, 1)(x)
+        s = UpsampleConv(self.features, 1, dtype=self.dtype)(x)
 
+        # Norm layers compute fp32 even under --bf16 (precision-sensitive;
+        # the convs carry the MXU bf16 win).
         if self.bn:
             o = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                             use_running_average=not train)(x)
+                             use_running_average=not train)(x.astype(jnp.float32))
         else:
-            o = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
+            o = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x.astype(jnp.float32))
         o = nn.relu(o)
-        o = UpsampleConv(self.features, self.kernel_size, use_bias=False)(o)
+        o = UpsampleConv(self.features, self.kernel_size, use_bias=False,
+                         dtype=self.dtype)(o)
         if self.bn:
             o = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                             use_running_average=not train)(o)
+                             use_running_average=not train)(o.astype(jnp.float32))
         else:
-            o = nn.GroupNorm(num_groups=32, epsilon=1e-5)(o)
+            o = nn.GroupNorm(num_groups=32, epsilon=1e-5)(o.astype(jnp.float32))
         o = nn.relu(o)
-        o = TorchConv(self.features, self.kernel_size, padding="SAME")(o)
+        o = TorchConv(self.features, self.kernel_size, padding="SAME",
+                      dtype=self.dtype)(o)
 
         return o + s
 
@@ -75,6 +82,7 @@ class DCResNetGenerator(nn.Module):
     n_classes: int = 0
     emb_mode: str = "concat"
     bn: bool = True
+    dtype: object = None   # compute dtype (--bf16); params stay fp32
 
     family = "wgan"
 
@@ -89,21 +97,22 @@ class DCResNetGenerator(nn.Module):
             elif self.emb_mode == "concat":
                 x = jnp.concatenate([z, one_hot(y, self.n_classes)], axis=1)
 
-        x = TorchDense(self.first_filter_size ** 2 * self.channels[0])(x)
+        x = TorchDense(self.first_filter_size ** 2 * self.channels[0],
+                       dtype=self.dtype)(x)
         x = x.reshape(z.shape[0], self.first_filter_size, self.first_filter_size,
                       self.channels[0])
 
         for ch in self.channels[1:]:
-            x = ResBlockUp(ch, 5, bn=self.bn)(x, train=train)
+            x = ResBlockUp(ch, 5, bn=self.bn, dtype=self.dtype)(x, train=train)
 
         if self.bn:
             x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
-                             use_running_average=not train)(x)
+                             use_running_average=not train)(x.astype(jnp.float32))
         else:
-            x = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
+            x = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x.astype(jnp.float32))
         x = nn.relu(x)
-        x = TorchConv(self.out_ch, 3, padding="SAME")(x)
-        return nn.tanh(x)
+        x = TorchConv(self.out_ch, 3, padding="SAME", dtype=self.dtype)(x)
+        return nn.tanh(x.astype(jnp.float32))
 
 
 class DCResNetDiscriminator(nn.Module):
@@ -115,6 +124,7 @@ class DCResNetDiscriminator(nn.Module):
     conditional_arch: str = "ACGAN"
     aux_loss_type: str = "wasserstein"
     aux_loss_scalar: float = 1.0
+    dtype: object = None   # compute dtype (--bf16); params stay fp32
 
     family = "wgan"
 
@@ -138,7 +148,8 @@ class DCResNetDiscriminator(nn.Module):
             o = jnp.concatenate([o, planes], axis=-1)
 
         for ch in self.channels[1:]:
-            o = nn.leaky_relu(TorchConv(ch, 5, strides=2, padding=2)(o),
+            o = nn.leaky_relu(TorchConv(ch, 5, strides=2, padding=2,
+                                        dtype=self.dtype)(o),
                               negative_slope=0.2)
 
         o = o.reshape(x.shape[0], -1)
@@ -149,12 +160,14 @@ class DCResNetDiscriminator(nn.Module):
         # crash on the missing linOut — do-not-copy list, SURVEY.md §7).
         if self.n_classes > 1 and self.conditional_arch in ("ACGAN", "WCGAN") \
                 and (aux or self.conditional_arch == "WCGAN"):
-            aux_out = TorchDense(self.n_classes, use_bias=True, name="linOutAux")(o)
+            aux_out = TorchDense(self.n_classes, use_bias=True,
+                                 dtype=self.dtype, name="linOutAux")(o)
 
         if aux_out is not None and self.conditional_arch == "WCGAN":
             out = jnp.sum(aux_out * one_hot(y, self.n_classes), axis=1, keepdims=True)
         else:
-            out = TorchDense(1, use_bias=False, name="linOut")(o)
+            out = TorchDense(1, use_bias=False, dtype=self.dtype,
+                             name="linOut")(o)
 
         return out, aux_out
 

@@ -20,6 +20,8 @@ class MNISTVanillaG(nn.Module):
     emb_mode: str = "concat"    # vanilla supports concat only (options.py:255)
     bn: bool = True             # unused by the MLP; kept for a uniform ctor
     out_ch: int = 1
+    dtype: object = None        # accepted for a uniform ctor; the tiny MLP
+    #                             always computes fp32 (no bf16 win)
 
     family = "vanilla"
 
@@ -49,6 +51,7 @@ class MNISTVanillaD(nn.Module):
     emb_mode: str = "concat"
     conditional_arch: str = "ACGAN"
     aux_loss_type: str = "cross_entropy"
+    dtype: object = None        # accepted for a uniform ctor; fp32 compute
     aux_loss_scalar: float = 1.0
     bpc_fwd: Optional[tuple] = None   # per-layer input clip levels
     bpc_back: Optional[tuple] = None  # per-layer cotangent clip levels

@@ -55,6 +55,7 @@ def init_models(opt, init_G: bool = True, init_D: bool = True):
     n_classes = opt.n_classes if opt.conditional else 0
     bn = not opt_get(opt, "per_sample_grad", False)
     g_ctor, d_ctor = model_classes(opt)
+    dtype = jnp.bfloat16 if opt_get(opt, "bf16", False) else None
 
     key = jax.random.PRNGKey(opt.weights_seed)
     g_key, d_key = jax.random.split(key)
@@ -62,7 +63,7 @@ def init_models(opt, init_G: bool = True, init_D: bool = True):
     G = G_vars = D = D_vars = None
     if init_G:
         G = g_ctor(z_dim=opt.g_latent_dim, bn=bn, n_classes=n_classes,
-                   emb_mode=opt.g_label_emb_mode)
+                   emb_mode=opt.g_label_emb_mode, dtype=dtype)
         z = jnp.zeros((1, opt.g_latent_dim), jnp.float32)
         y = jnp.zeros((1,), jnp.int32) if n_classes > 0 else None
         G_vars = G.init(g_key, z, y, train=True)
@@ -76,7 +77,8 @@ def init_models(opt, init_G: bool = True, init_D: bool = True):
         D = d_ctor(n_classes=n_classes, emb_mode=opt.d_label_emb_mode,
                    conditional_arch=opt.conditional_arch,
                    aux_loss_type=opt.aux_loss_type,
-                   aux_loss_scalar=opt.aux_loss_scalar, **d_kwargs)
+                   aux_loss_scalar=opt.aux_loss_scalar, dtype=dtype,
+                   **d_kwargs)
         x = jnp.zeros((1,) + _image_shape(opt), jnp.float32)
         y = jnp.zeros((1,), jnp.int32) if n_classes > 0 else None
         D_vars = D.init(d_key, x, y)

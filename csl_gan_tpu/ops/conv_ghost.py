@@ -41,39 +41,62 @@ from csl_gan_tpu.ops.grads import ClipStats, add_gaussian_noise, clip_factors
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
+# Clip-bound safety margin under bf16 compute: the clip factors are applied
+# by scaling the (bf16) cotangents, whose rounding perturbs each per-sample
+# contribution by <= 2^-8 relative; inflating the norms by 2^-7 keeps
+# ||f_i * g_i|| <= C rigorously (at a <=0.8% utility cost on the threshold).
+_BF16_NORM_MARGIN = 1.0 + 2.0 ** -7
 
-def _conv(a, kernel, stride, pad):
+
+def _prec(dtype):
+    # HIGHEST forces the fp32 multi-pass path; for bf16 inputs the MXU
+    # fast path with fp32 accumulation is the point.
+    return lax.Precision.DEFAULT if dtype is not None else lax.Precision.HIGHEST
+
+
+def _conv(a, kernel, stride, pad, dtype=None):
+    if dtype is not None:
+        a = a.astype(dtype)
+        kernel = kernel.astype(dtype)
     return lax.conv_general_dilated(
         a, kernel, window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)], dimension_numbers=_DN,
-        precision=lax.Precision.HIGHEST)
+        precision=_prec(dtype))
 
 
-def _patches(a, kh, kw, stride, pad):
+def _patches(a, kh, kw, stride, pad, dtype=None):
     """im2col: [B, H', W', K] with K = kh*kw*Cin (ordering irrelevant: only
     norms and Gram matrices are taken)."""
     return lax.conv_general_dilated_patches(
         a, filter_shape=(kh, kw), window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)], dimension_numbers=_DN,
-        precision=lax.Precision.HIGHEST)
+        precision=_prec(dtype))
 
 
-def _conv_kernel_sq_norms(a_prev, c_z, kh, kw, stride, pad):
-    """Per-sample squared Frobenius norm of the conv kernel gradient."""
+def _conv_kernel_sq_norms(a_prev, c_z, kh, kw, stride, pad, dtype=None):
+    """Per-sample squared Frobenius norm of the conv kernel gradient.
+
+    With a bf16 compute dtype, the einsums take bf16 inputs and accumulate
+    fp32 (preferred_element_type) — exact for bf16-valued inputs up to
+    accumulation rounding, so the norms describe the SAME gradients the
+    weighted backward produces."""
     b = a_prev.shape[0]
-    u = _patches(a_prev, kh, kw, stride, pad).reshape(b, -1, kh * kw * a_prev.shape[-1])
+    u = _patches(a_prev, kh, kw, stride, pad, dtype).reshape(
+        b, -1, kh * kw * a_prev.shape[-1])
     c = c_z.reshape(b, -1, c_z.shape[-1])
     s, k, o = u.shape[1], u.shape[2], c.shape[2]
-    hp = jax.lax.Precision.HIGHEST
+    kw_e = dict(precision=_prec(dtype),
+                preferred_element_type=jnp.float32)
     if s * (k + o) < k * o:
         # ghost order: <U U^T, C C^T> — cheaper when the spatial extent is
         # small relative to the kernel param count (deep layers).
-        gu = jnp.einsum("bsk,btk->bst", u, u, precision=hp)
-        gc = jnp.einsum("bso,bto->bst", c, c, precision=hp)
-        return jnp.einsum("bst,bst->b", gu, gc, precision=hp)
+        gu = jnp.einsum("bsk,btk->bst", u, u, **kw_e)
+        gc = jnp.einsum("bso,bto->bst", c, c, **kw_e)
+        return jnp.einsum("bst,bst->b", gu, gc,
+                          precision=lax.Precision.HIGHEST)
     # direct order: materialize the [K, O] per-sample grad (small for early
     # layers) and reduce.
-    g = jnp.einsum("bsk,bso->bko", u, c, precision=hp)
+    g = jnp.einsum("bsk,bso->bko", u, c, **kw_e)
     return jnp.sum(g ** 2, axis=(1, 2))
 
 
@@ -83,6 +106,7 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
                         concat_planes: bool,
                         max_norm, per_layer: bool,
                         stride: int = 2, pad: int = 2,
+                        compute_dtype=None,
                         noise: Optional[Tuple[jax.Array, float]] = None):
     """Clipped(+noised) summed gradient of the per-sample REAL wgan loss.
 
@@ -95,11 +119,19 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
     ops/grads.clipped_grad_sum.
     """
     b = x.shape[0]
+    dt = compute_dtype
 
     conv_names = sorted((k for k in d_params if k.startswith("TorchConv_")),
                         key=lambda s: int(s.rsplit("_", 1)[1]))
     has_aux = "linOutAux" in d_params
     has_lin_out = "linOut" in d_params
+
+    def head_mm(a, w):
+        # Mirrors models.common.TorchDense: bf16 operands, fp32 accumulation.
+        if dt is not None:
+            a, w = a.astype(dt), w.astype(dt)
+        return jnp.dot(a, w, precision=_prec(dt),
+                       preferred_element_type=jnp.float32)
 
     # ---- forward (matches DCResNetDiscriminator.__call__) ----
     o = x
@@ -108,25 +140,29 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
         planes = jnp.broadcast_to(
             planes, (b, x.shape[1], x.shape[2], n_classes))
         o = jnp.concatenate([o, planes], axis=-1)
+    if dt is not None:
+        o = o.astype(dt)
 
     acts = []   # per conv layer: (a_prev, z)
     for name in conv_names:
         p = d_params[name]["Conv_0"]
-        z = _conv(o, p["kernel"], stride, pad) + p["bias"]
+        bias = p["bias"].astype(dt) if dt is not None else p["bias"]
+        z = _conv(o, p["kernel"], stride, pad, dt) + bias
         acts.append((o, z))
-        o = jnp.where(z >= 0, z, 0.2 * z)      # leaky_relu(0.2)
+        o = jnp.where(z >= 0, z, jnp.asarray(0.2, z.dtype) * z)  # leaky(0.2)
 
     flat = o.reshape(b, -1)
+    flat32 = flat.astype(jnp.float32)   # head math stays fp32-exact
 
     aux_out = None
     if has_aux:
-        wa = d_params["linOutAux"]["kernel"]
-        aux_out = flat @ wa + d_params["linOutAux"]["bias"]
+        aux_out = head_mm(flat, d_params["linOutAux"]["kernel"]) \
+            + d_params["linOutAux"]["bias"]
     if has_aux and arch == "WCGAN":
         onehot = jax.nn.one_hot(y, n_classes)
         out = jnp.sum(aux_out * onehot, axis=1, keepdims=True)
     else:
-        out = flat @ d_params["linOut"]["kernel"]
+        out = head_mm(flat, d_params["linOut"]["kernel"])
 
     # ---- head cotangents (d per-sample-loss / d pre-activation) ----
     # adversarial: loss_i = -out_i  =>  c_out = -1 (wgan real,
@@ -157,15 +193,18 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
     # scaled cotangent) the weighted kernel-grad sum; XLA CSEs the shared
     # forward.
     c_a = c_flat.reshape(o.shape)
+    if dt is not None:
+        c_a = c_a.astype(dt)
     cots = [None] * len(conv_names)   # cotangent of each conv's pre-activation
     vjps = [None] * len(conv_names)
     for li in reversed(range(len(conv_names))):
         a_prev, z = acts[li]
-        c_z = c_a * jnp.where(z >= 0, 1.0, 0.2)
+        c_z = c_a * jnp.where(z >= 0, jnp.asarray(1.0, c_a.dtype),
+                              jnp.asarray(0.2, c_a.dtype))
         cots[li] = c_z
         kernel = d_params[conv_names[li]]["Conv_0"]["kernel"]
         _, vjps[li] = jax.vjp(
-            lambda a, k: _conv(a, k, stride, pad), a_prev, kernel)
+            lambda a, k: _conv(a, k, stride, pad, dt), a_prev, kernel)
         if li > 0:
             c_a, _ = vjps[li](c_z)
 
@@ -178,12 +217,12 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
         c_z = cots[li]
         kh, kw = d_params[name]["Conv_0"]["kernel"].shape[:2]
         sq_by_path[(name, "Conv_0", "kernel")] = _conv_kernel_sq_norms(
-            a_prev, c_z, kh, kw, stride, pad)
-        g_b = jnp.sum(c_z, axis=(1, 2))                          # [B, O]
+            a_prev, c_z, kh, kw, stride, pad, dt)
+        g_b = jnp.sum(c_z.astype(jnp.float32), axis=(1, 2))      # [B, O]
         sq_by_path[(name, "Conv_0", "bias")] = jnp.sum(g_b ** 2, axis=1)
 
         def k_sum(w, vjp=vjps[li], c_z=c_z):
-            _, gw = vjp(c_z * w[:, None, None, None])
+            _, gw = vjp((c_z * w[:, None, None, None]).astype(c_z.dtype))
             return gw
 
         sum_by_path[(name, "Conv_0", "kernel")] = k_sum
@@ -191,11 +230,11 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
             lambda w, g_b=g_b: jnp.sum(g_b * w[:, None], axis=0)
 
     hp = jax.lax.Precision.HIGHEST
-    sq_flat = jnp.sum(flat ** 2, axis=1)
+    sq_flat = jnp.sum(flat32 ** 2, axis=1)
     if has_lin_out and not (has_aux and arch == "WCGAN"):
         sq_by_path[("linOut", "kernel")] = sq_flat * jnp.sum(c_out ** 2, axis=1)
         sum_by_path[("linOut", "kernel")] = \
-            lambda w: jnp.einsum("bi,bo->io", flat * w[:, None], c_out,
+            lambda w: jnp.einsum("bi,bo->io", flat32 * w[:, None], c_out,
                                  precision=hp)
     elif has_lin_out:
         # WCGAN computes out from the aux head; linOut gets zero gradient.
@@ -209,7 +248,7 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
         sum_by_path[("linOutAux", "bias")] = \
             lambda w: jnp.sum(c_aux * w[:, None], axis=0)
         sum_by_path[("linOutAux", "kernel")] = \
-            lambda w: jnp.einsum("bi,bo->io", flat * w[:, None], c_aux,
+            lambda w: jnp.einsum("bi,bo->io", flat32 * w[:, None], c_aux,
                                  precision=hp)
 
     flat_paths, treedef = jax.tree_util.tree_flatten_with_path(d_params)
@@ -217,7 +256,9 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
              for path, _leaf in flat_paths]
     leaf_norms = jnp.stack([jnp.sqrt(jnp.maximum(sq_by_path[p], 0.0))
                             for p in paths])                     # [L, B]
-    factors = clip_factors(leaf_norms, max_norm, per_layer)
+    clip_norms = leaf_norms * _BF16_NORM_MARGIN if dt is not None \
+        else leaf_norms
+    factors = clip_factors(clip_norms, max_norm, per_layer)
 
     summed = jax.tree_util.tree_unflatten(
         treedef, [sum_by_path[p](factors[i]) for i, p in enumerate(paths)])

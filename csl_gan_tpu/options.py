@@ -264,6 +264,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host_loop", type=str2bool, default=False,
                         help="Force the per-batch host loop instead of the "
                              "device-side interval scan.")
+    parser.add_argument("--bf16", type=str2bool, default=False,
+                        help="bfloat16 compute for the DCResNet G and D "
+                             "forward/backward (params and DP clipping "
+                             "arithmetic stay fp32). DP-safe: the G update "
+                             "and the D fake/penalty passes are "
+                             "post-processing; the private real pass keeps "
+                             "fp32-accumulated norms with a bf16 safety "
+                             "margin on the clip bound (ops/conv_ghost.py).")
     parser.add_argument("--poisson", type=str2bool, default=False,
                         help="Exact Poisson subsampling: per-step "
                              "Bernoulli(B/N) inclusion over the dataset "

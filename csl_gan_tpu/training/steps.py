@@ -92,6 +92,11 @@ class TrainStepBuilder:
         self.adaptive_stat = opt.adaptive_stat
         self.adaptive_scalar = opt.adaptive_scalar
         self.chunk = opt_get(opt, "per_sample_chunk", None)
+        # --bf16: the models compute in bfloat16 (registry passes dtype);
+        # the conv-ghost real pass follows suit with fp32-accumulated norms
+        # and a rigor margin on the clip bound (ops/conv_ghost.py).
+        self.compute_dtype = jnp.bfloat16 if opt_get(opt, "bf16", False) \
+            else None
         # Exact Poisson subsampling (--poisson): per-step Bernoulli(B/N)
         # inclusion over the dataset, gathered into a static [cap] buffer
         # with a validity mask — matches the accountant's sampling assumption
@@ -540,7 +545,9 @@ class TrainStepBuilder:
                     arch=self.arch, aux_type=self.aux_type,
                     aux_scalar=self.aux_scalar, row_w=row_w,
                     concat_planes=concat, max_norm=clipping,
-                    per_layer=self.per_layer, noise=(k_noise, self.sigma))
+                    per_layer=self.per_layer,
+                    compute_dtype=self.compute_dtype,
+                    noise=(k_noise, self.sigma))
                 noise_done = True
             elif self.use_two_pass and not ps_pen:
                 f, args = self._real_ps_args(x, y, row_w)
