@@ -30,7 +30,6 @@ against ops/grads.clipped_grad_sum is pinned by tests/test_conv_ghost.py.
 
 from __future__ import annotations
 
-import re
 from typing import Optional, Tuple
 
 import jax
@@ -73,17 +72,14 @@ def _patches(a, kh, kw, stride, pad, dtype=None):
         precision=_prec(dtype))
 
 
-def _conv_kernel_sq_norms(a_prev, c_z, kh, kw, stride, pad, dtype=None):
-    """Per-sample squared Frobenius norm of the conv kernel gradient.
+def _conv_kernel_sq_norms(u, c, dtype=None):
+    """Per-sample squared Frobenius norm of the conv kernel gradient, from
+    unfolded patches u [B, S, K] and cotangents c [B, S, O].
 
     With a bf16 compute dtype, the einsums take bf16 inputs and accumulate
     fp32 (preferred_element_type) — exact for bf16-valued inputs up to
     accumulation rounding, so the norms describe the SAME gradients the
-    weighted backward produces."""
-    b = a_prev.shape[0]
-    u = _patches(a_prev, kh, kw, stride, pad, dtype).reshape(
-        b, -1, kh * kw * a_prev.shape[-1])
-    c = c_z.reshape(b, -1, c_z.shape[-1])
+    weighted sum (_conv_kernel_weighted_sum, same u/c) produces."""
     s, k, o = u.shape[1], u.shape[2], c.shape[2]
     kw_e = dict(precision=_prec(dtype),
                 preferred_element_type=jnp.float32)
@@ -100,13 +96,34 @@ def _conv_kernel_sq_norms(a_prev, c_z, kh, kw, stride, pad, dtype=None):
     return jnp.sum(g ** 2, axis=(1, 2))
 
 
+def _conv_kernel_weighted_sum(u, c, w, kernel_shape, dtype=None):
+    """sum_i w_i * U_i^T C_i as ONE fp32-accumulated, fp32-OUTPUT einsum.
+
+    The fp32 output matters for DP rigor under bf16: a bf16-valued summed
+    gradient would be rounded at the magnitude of the SUM (up to B*C), far
+    beyond the per-sample clip bound; here only the per-sample products go
+    through bf16 (covered by the _BF16_NORM_MARGIN on the norms).
+
+    conv_general_dilated_patches emits features channel-major, i.e. the K
+    axis is ordered (cin, kh, kw) — verified against the conv vjp by
+    tests/test_conv_ghost.py."""
+    kh, kw, cin, cout = kernel_shape
+    cw = c * w[:, None, None]
+    if dtype is not None:
+        cw = cw.astype(dtype)
+    g = jnp.einsum("bsk,bso->ko", u, cw, precision=_prec(dtype),
+                   preferred_element_type=jnp.float32)
+    return g.reshape(cin, kh, kw, cout).transpose(1, 2, 0, 3)
+
+
 def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
                         *, n_classes: int, arch: str, aux_type: str,
                         aux_scalar: float, row_w: Optional[jnp.ndarray],
                         concat_planes: bool,
                         max_norm, per_layer: bool,
                         stride: int = 2, pad: int = 2,
-                        compute_dtype=None,
+                        compute_dtype=None, valid=None,
+                        norms_only: bool = False,
                         noise: Optional[Tuple[jax.Array, float]] = None):
     """Clipped(+noised) summed gradient of the per-sample REAL wgan loss.
 
@@ -117,6 +134,12 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
     optional linOut / linOutAux heads). Returns (summed_grads_tree, ClipStats,
     (out, aux_out)); stats/factors are in tree-leaf order, matching
     ops/grads.clipped_grad_sum.
+
+    `valid` (Poisson subsampling mask, [B] float) scales the head cotangents,
+    so masked rows get exactly zero gradient and zero norm (factor 1,
+    contribution 0). With `norms_only=True`, returns just the [L, B]
+    per-sample leaf norms (the adaptive-clipping statistic) — no weighted
+    sums or noise.
     """
     b = x.shape[0]
     dt = compute_dtype
@@ -182,16 +205,20 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
             sig = jax.nn.sigmoid(aux_out)
             c_aux = aux_scalar * w_row[:, None] * sign * sig * (1.0 - sig)
 
-    c_flat = jnp.zeros_like(flat)
+    if valid is not None:
+        # Poisson mask: zeroing the head cotangents zeroes every per-sample
+        # gradient (and its norm) for masked rows.
+        c_out = c_out * valid[:, None]
+        if c_aux is not None:
+            c_aux = c_aux * valid[:, None]
+
+    c_flat = jnp.zeros_like(flat32)
     if has_lin_out and not (has_aux and arch == "WCGAN"):
         c_flat = c_flat + c_out @ d_params["linOut"]["kernel"].T
     if c_aux is not None:
         c_flat = c_flat + c_aux @ d_params["linOutAux"]["kernel"].T
 
     # ---- backprop input cotangents through the conv stack ----
-    # One vjp per layer, reused for the input cotangent AND (with the clip-
-    # scaled cotangent) the weighted kernel-grad sum; XLA CSEs the shared
-    # forward.
     c_a = c_flat.reshape(o.shape)
     if dt is not None:
         c_a = c_a.astype(dt)
@@ -215,17 +242,33 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
     for li, name in enumerate(conv_names):
         a_prev, _ = acts[li]
         c_z = cots[li]
-        kh, kw = d_params[name]["Conv_0"]["kernel"].shape[:2]
+        kshape = d_params[name]["Conv_0"]["kernel"].shape
+        kh, kw = kshape[:2]
+        # Unfolded patches, shared by the norms and (under bf16) the
+        # weighted sum — the bound is exact because both read the SAME
+        # u/c tensors.
+        u = _patches(a_prev, kh, kw, stride, pad, dt).reshape(
+            b, -1, kh * kw * a_prev.shape[-1])
+        c2 = c_z.reshape(b, -1, c_z.shape[-1])
         sq_by_path[(name, "Conv_0", "kernel")] = _conv_kernel_sq_norms(
-            a_prev, c_z, kh, kw, stride, pad, dt)
+            u, c2, dt)
         g_b = jnp.sum(c_z.astype(jnp.float32), axis=(1, 2))      # [B, O]
         sq_by_path[(name, "Conv_0", "bias")] = jnp.sum(g_b ** 2, axis=1)
 
-        def k_sum(w, vjp=vjps[li], c_z=c_z):
-            _, gw = vjp((c_z * w[:, None, None, None]).astype(c_z.dtype))
-            return gw
+        if dt is not None:
+            # fp32-OUTPUT einsum: a bf16 summed gradient would be rounded
+            # at the SUM's magnitude, breaking the clip bound.
+            sum_by_path[(name, "Conv_0", "kernel")] = \
+                lambda w, u=u, c2=c2, kshape=kshape: \
+                _conv_kernel_weighted_sum(u, c2, w, kshape, dt)
+        else:
+            # fp32: the conv vjp is exact (fp32 output) and faster than a
+            # HIGHEST-precision einsum.
+            def k_sum(w, vjp=vjps[li], c_z=c_z):
+                _, gw = vjp(c_z * w[:, None, None, None])
+                return gw
 
-        sum_by_path[(name, "Conv_0", "kernel")] = k_sum
+            sum_by_path[(name, "Conv_0", "kernel")] = k_sum
         sum_by_path[(name, "Conv_0", "bias")] = \
             lambda w, g_b=g_b: jnp.sum(g_b * w[:, None], axis=0)
 
@@ -256,6 +299,8 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
              for path, _leaf in flat_paths]
     leaf_norms = jnp.stack([jnp.sqrt(jnp.maximum(sq_by_path[p], 0.0))
                             for p in paths])                     # [L, B]
+    if norms_only:
+        return leaf_norms
     clip_norms = leaf_norms * _BF16_NORM_MARGIN if dt is not None \
         else leaf_norms
     factors = clip_factors(clip_norms, max_norm, per_layer)

@@ -36,6 +36,7 @@ def vanilla_real_ghost(d_params, x, y_onehot: Optional[jnp.ndarray],
                        aux_labels: Optional[jnp.ndarray],
                        aux_scalar: float,
                        max_norm, per_layer: bool,
+                       valid: Optional[jnp.ndarray] = None,
                        noise: Optional[Tuple[jax.Array, float]] = None):
     """Clipped(+noised) summed gradient of the per-sample REAL loss for the
     vanilla D: per-sample loss_i = BCE(out_i, 1) [+ aux_scalar * CE_i].
@@ -67,10 +68,15 @@ def vanilla_real_ghost(d_params, x, y_onehot: Optional[jnp.ndarray],
         aux = h @ wa + ba                                      # [B, nc]
         onehot_t = jax.nn.one_hot(aux_labels, aux.shape[1])
         c_aux = aux_scalar * (jax.nn.softmax(aux, axis=-1) - onehot_t)
-        c_h = c_out @ w2.T + c_aux @ wa.T
     else:
         c_aux = None
-        c_h = c_out @ w2.T
+    if valid is not None:
+        # Poisson mask: zeroed cotangents give masked rows exactly zero
+        # gradient and zero norm (factor 1, contribution 0).
+        c_out = c_out * valid[:, None]
+        if c_aux is not None:
+            c_aux = c_aux * valid[:, None]
+    c_h = c_out @ w2.T + (c_aux @ wa.T if use_aux else 0.0)
     c_z1 = c_h * (z1 > 0)                                      # [B, 128]
 
     # Per-sample squared norms per leaf (ghost factorization).

@@ -267,11 +267,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bf16", type=str2bool, default=False,
                         help="bfloat16 compute for the DCResNet G and D "
                              "forward/backward (params and DP clipping "
-                             "arithmetic stay fp32). DP-safe: the G update "
+                             "arithmetic stay fp32). DP rigor: the G update "
                              "and the D fake/penalty passes are "
-                             "post-processing; the private real pass keeps "
-                             "fp32-accumulated norms with a bf16 safety "
-                             "margin on the clip bound (ops/conv_ghost.py).")
+                             "post-processing; the private real pass runs "
+                             "conv-ghost clipping with fp32-accumulated "
+                             "norms, fp32-output weighted sums, and a bf16 "
+                             "margin on the clip bound (ops/conv_ghost.py) "
+                             "— or the generic fp32-per-sample-grad path "
+                             "when conv_ghost is off.")
     parser.add_argument("--poisson", type=str2bool, default=False,
                         help="Exact Poisson subsampling: per-step "
                              "Bernoulli(B/N) inclusion over the dataset "
@@ -343,6 +346,16 @@ def derive_and_validate(opt) -> None:
         raise Exception("--poisson (exact Poisson subsampling) is only "
                         "implemented for the gradient-clipping DP mode "
                         "(-dpm gc).")
+    if opt.use_dp and (opt.grad_clip_mode or "").startswith("adaptive") \
+            and opt.public_set_size < 1 and opt.num_mean_samples < 1:
+        # The reference's update_adaptive_clipping_params unconditionally
+        # reads public data or the mean sampler (train.py:204-216) and
+        # crashes with neither; make that a clear config-time error. It also
+        # keeps the adaptive statistic off sensitive data (unaccounted
+        # privacy leakage otherwise).
+        raise Exception("Adaptive clipping derives its thresholds from "
+                        "public data: set public_set_size or "
+                        "num_mean_samples.")
 
 
 def parse(argv=None) -> Namespace:

@@ -69,6 +69,10 @@ class Trainer:
             cfg = bpc_config_for(opt)
             opt.clipping_param_per_layer = [c * opt.batch_size
                                             for c in cfg.grad_l2_bounds]
+            # The BPC-derived vector is authoritative: mark it user-set so
+            # steps._per_layer_vector applies it verbatim instead of
+            # rebuilding a dataset default.
+            opt.cpl_user_set = True
             opt.clipping_param = float(np.linalg.norm(opt.clipping_param_per_layer))
             print("BPC L2 Bounds:", cfg.grad_l2_bounds)
             print("BPC Backprop Clipping Params:", cfg.back_clip_params)
@@ -225,17 +229,7 @@ class Trainer:
                 raise Exception(
                     "--poisson requires an in-memory (device-resident) "
                     "dataset; this dataset is streamed from the host.")
-            q, cap = self.builder.poisson_q, self.builder.poisson_cap
-
-            def draw(images, labels, key):
-                incl = jax.random.bernoulli(key, q, (images.shape[0],))
-                order = jnp.argsort(jnp.logical_not(incl), stable=True)
-                idx = order[:cap]
-                count = jnp.sum(incl.astype(jnp.int32))
-                valid = (jnp.arange(cap) < count).astype(jnp.float32)
-                return images[idx], labels[idx], valid
-
-            self._poisson_draw = jax.jit(draw)
+            self._poisson_draw = jax.jit(self.builder.poisson_draw)
 
     # ---------------- device-resident data ----------------
 

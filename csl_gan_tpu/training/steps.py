@@ -106,9 +106,12 @@ class TrainStepBuilder:
         if self.poisson:
             import math
             self.poisson_q = opt.batch_size / opt.train_set_size
-            # cap = B + 8*sqrt(B): overflow probability ~1e-15 (binomial tail)
-            self.poisson_cap = opt.batch_size + int(
-                math.ceil(8.0 * math.sqrt(opt.batch_size)))
+            # cap = B + 8*sqrt(B): overflow probability ~1e-15 (binomial
+            # tail); never more than the dataset itself (high sampling
+            # rates would otherwise gather fewer rows than the mask length).
+            self.poisson_cap = min(
+                opt.batch_size + int(math.ceil(8.0 * math.sqrt(opt.batch_size))),
+                opt.train_set_size)
         self.use_pallas = bool(opt_get(opt, "pallas", False)) and self.chunk is None
         self.is_per_param = bool(opt.imm_sens_per_param)
         self.is_scaling_mode = opt.imm_sens_scaling_mode or "standard"
@@ -130,8 +133,7 @@ class TrainStepBuilder:
         from csl_gan_tpu.models.mnist import MNISTVanillaD
         self.use_ghost = (isinstance(D, MNISTVanillaD)
                           and self.dp_mode == "gc" and self.grad_clip_split
-                          and not self.use_bpc and self.chunk is None
-                          and not self.poisson)
+                          and not self.use_bpc and self.chunk is None)
         # Conv ghost clipping (ops/conv_ghost.py): analytic per-sample norms
         # (mixed im2col ghost/direct order) + per-layer weighted backward
         # with clip-scaled cotangents — no [B, params] materialization and
@@ -141,16 +143,20 @@ class TrainStepBuilder:
         self.use_conv_ghost = (isinstance(D, DCResNetDiscriminator)
                                and bool(opt_get(opt, "conv_ghost", True))
                                and self.dp_mode == "gc" and self.grad_clip_split
-                               and not self.use_bpc and self.chunk is None
-                               and not self.poisson)
+                               and not self.use_bpc and self.chunk is None)
         # Conv models with flat clipping: norms-only pass + single weighted
         # backward (no per-sample-grad re-read; ~12% faster and lower peak
         # memory than the one-pass path on the CelebA D). Fallback when the
         # conv ghost path is disabled (--conv_ghost false).
+        # (bf16 excluded: the two-pass weighted backward would round the
+        # SUMMED gradient to bf16, breaking the clip bound at the sum's
+        # magnitude; the generic one-pass path materializes fp32 per-sample
+        # grads and sums them fp32, which stays rigorous.)
         self.use_two_pass = (not self.use_ghost and not self.use_conv_ghost
                              and self.family == "wgan"
                              and self.dp_mode == "gc" and not self.per_layer
-                             and self.chunk is None and not self.use_bpc)
+                             and self.chunk is None and not self.use_bpc
+                             and self.compute_dtype is None)
 
         # jitted entry points
         self.d_step_plain = jax.jit(self._d_step_plain, donate_argnums=(0,))
@@ -468,6 +474,19 @@ class TrainStepBuilder:
 
         return f, (x, fake_img) + ((pen_keys,) if with_pen else ())
 
+    def poisson_draw(self, images, labels, key):
+        """One exact Poisson draw: Bernoulli(B/N) inclusion over the dataset,
+        included rows packed (stable argsort) into the static [cap] buffer,
+        plus the validity mask. The SINGLE implementation used by both the
+        host loop and the interval scan (privacy-critical: they must sample
+        identically)."""
+        incl = jax.random.bernoulli(key, self.poisson_q, (images.shape[0],))
+        order = jnp.argsort(jnp.logical_not(incl), stable=True)
+        idx = order[:self.poisson_cap]
+        count = jnp.sum(incl.astype(jnp.int32))
+        valid = (jnp.arange(self.poisson_cap) < count).astype(jnp.float32)
+        return images[idx], labels[idx], valid
+
     @staticmethod
     def _mask_loss(f, args, valid):
         """Multiply the per-sample loss by a validity weight: masked rows get
@@ -486,9 +505,23 @@ class TrainStepBuilder:
         (reference train.py:204-245; real-pass only, the grad_clip_split
         default)."""
         row_w = self._row_weights(ay) if self.conditional else None
-        f, args = self._real_ps_args(ax, ay, row_w)
-        ps = gops.per_sample_grads(f, d_params, *args, chunk=self.chunk)
-        norms = gops._leaf_norms(ps)  # [L, B]
+        if self.use_conv_ghost:
+            # Analytic norms — no per-sample-grad materialization for the
+            # adaptive statistic either.
+            from csl_gan_tpu.ops import conv_ghost
+            concat = (self.conditional and self.arch != "ACGAN"
+                      and opt_get(self.opt, "d_label_emb_mode",
+                                  "concat") == "concat")
+            norms = conv_ghost.dcresnet_real_ghost(
+                d_params, ax, ay, n_classes=self.n_classes, arch=self.arch,
+                aux_type=self.aux_type, aux_scalar=self.aux_scalar,
+                row_w=row_w, concat_planes=concat, max_norm=1.0,
+                per_layer=self.per_layer,
+                compute_dtype=self.compute_dtype, norms_only=True)
+        else:
+            f, args = self._real_ps_args(ax, ay, row_w)
+            ps = gops.per_sample_grads(f, d_params, *args, chunk=self.chunk)
+            norms = gops._leaf_norms(ps)  # [L, B]
         stat = jnp.mean(norms, axis=1) if self.adaptive_stat == "mean" \
             else jnp.max(norms, axis=1)
         if self.per_layer:
@@ -533,7 +566,8 @@ class TrainStepBuilder:
                 aux_labels = y if (self.conditional and self.use_aux) else None
                 summed, clip_stats, ghost_outs = ghost.vanilla_real_ghost(
                     state.d_params, x, y_onehot, aux_labels, self.aux_scalar,
-                    clipping, self.per_layer, noise=(k_noise, self.sigma))
+                    clipping, self.per_layer, valid=valid,
+                    noise=(k_noise, self.sigma))
                 noise_done = True
             elif self.use_conv_ghost and not ps_pen:
                 from csl_gan_tpu.ops import conv_ghost
@@ -546,7 +580,7 @@ class TrainStepBuilder:
                     aux_scalar=self.aux_scalar, row_w=row_w,
                     concat_planes=concat, max_norm=clipping,
                     per_layer=self.per_layer,
-                    compute_dtype=self.compute_dtype,
+                    compute_dtype=self.compute_dtype, valid=valid,
                     noise=(k_noise, self.sigma))
                 noise_done = True
             elif self.use_two_pass and not ps_pen:
@@ -895,22 +929,14 @@ class TrainStepBuilder:
                 rng, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng, 6)
                 valid = None
                 if use_dp and self.poisson:
-                    # Exact Poisson subsampling: Bernoulli(B/N) over the
-                    # dataset, included rows gathered (stable sort) into a
-                    # static [cap] buffer with a validity mask.
-                    k_poi = jax.random.fold_in(k_pp, 0x901)
-                    incl = jax.random.bernoulli(
-                        k_poi, self.poisson_q, (images.shape[0],))
-                    order = jnp.argsort(jnp.logical_not(incl), stable=True)
-                    idx = order[:self.poisson_cap]
-                    count = jnp.sum(incl.astype(jnp.int32))
-                    valid = (jnp.arange(self.poisson_cap) < count).astype(
-                        jnp.float32)
+                    x, yy, valid = self.poisson_draw(
+                        images, labels, jax.random.fold_in(k_pp, 0x901))
+                    y = yy if self.conditional else None
                 else:
                     idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,),
                                                 (bs,))
-                x = images[idx]
-                y = labels[idx] if self.conditional else None
+                    x = images[idx]
+                    y = labels[idx] if self.conditional else None
                 if batch_sharding is not None:
                     # Shard the gathered batch over the mesh's data axis so
                     # the per-sample-grad work actually parallelizes (the

@@ -95,6 +95,32 @@ def test_bpc_training_cli(tmp_path):
     assert os.path.exists(out + "/saves/G-1")
 
 
+def test_bpc_bounds_survive_per_layer_resolution(tmp_path):
+    """Regression: the BPC-derived per-layer clip vector must be applied
+    verbatim (it is programmatically set, not CLI-set; round-2 review found
+    it being replaced by the dataset-default builder)."""
+    from csl_gan_tpu import options
+    from csl_gan_tpu.models.registry import init_models
+    from csl_gan_tpu.training import checkpoint, param_order
+    from csl_gan_tpu.training.steps import TrainStepBuilder
+
+    out = str(tmp_path / "bpcpl")
+    train_cli.main(["MNIST", "-tss", "100", "-ne", "1", "-bs", "25",
+                    "--manual_seed", "2", "--log_every", "100",
+                    "--sample_every", "100000", "--save_every", "1",
+                    "-dpm", "gc", "-bpc", "true", "-gcm", "constant-pl",
+                    "-o", out])
+    opt = options.load_opt(out + "/opt.txt")
+    cfg = bpc.bpc_config_for(opt)
+    want = [c * opt.batch_size for c in cfg.grad_l2_bounds]
+    (G, Gv), (D, Dv) = init_models(opt)
+    builder = TrainStepBuilder(opt, G, D)
+    state = builder.init_state(Gv, Dv)
+    state, _, _ = checkpoint.load_d(out + "/saves/D-1", state)
+    got = param_order.to_torch_order(np.asarray(state.clipping), Dv["params"])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_bpc_rejects_dcresnet(tmp_path):
     from csl_gan_tpu import options
     opt = options.parse(["CelebA", "-bpc", "true", "-dpm", "gc", "-nms", "1",

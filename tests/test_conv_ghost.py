@@ -92,12 +92,16 @@ def test_conv_ghost_per_layer(tmp_path):
 
 def test_conv_ghost_mixed_orders_agree(tmp_path):
     """The ghost (Gram) and direct (materialized) kernel-norm orders must
-    agree — exercised by evaluating both on the same layer inputs."""
+    agree with brute-force per-sample vjp norms, and the patches-einsum
+    weighted sum must match the conv vjp (pins the channel-major patch
+    layout)."""
     k = jax.random.PRNGKey(5)
-    ka, kc = jax.random.split(k)
+    ka, kc, kw_ = jax.random.split(k, 3)
     a = jax.random.normal(ka, (4, 9, 9, 6))
     c = jax.random.normal(kc, (4, 5, 5, 8))
-    sq = conv_ghost._conv_kernel_sq_norms(a, c, 5, 5, 2, 2)
+    u = conv_ghost._patches(a, 5, 5, 2, 2).reshape(4, -1, 5 * 5 * 6)
+    c2 = c.reshape(4, -1, 8)
+    sq = conv_ghost._conv_kernel_sq_norms(u, c2)
     # brute force via per-sample vjp
     def one(ai, ci):
         kern = jnp.zeros((5, 5, 6, 8))
@@ -106,6 +110,15 @@ def test_conv_ghost_mixed_orders_agree(tmp_path):
         return jnp.sum(g ** 2)
     want = jax.vmap(one)(a, c)
     np.testing.assert_allclose(np.asarray(sq), np.asarray(want),
+                               rtol=1e-4, atol=1e-6)
+
+    # weighted sum vs vjp with w-scaled cotangents
+    w = jax.random.uniform(kw_, (4,), minval=0.1, maxval=1.0)
+    got = conv_ghost._conv_kernel_weighted_sum(u, c2, w, (5, 5, 6, 8))
+    kern = jnp.zeros((5, 5, 6, 8))
+    _, vjp = jax.vjp(lambda kk: conv_ghost._conv(a, kk, 2, 2), kern)
+    (want_sum,) = vjp(c * w[:, None, None, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_sum),
                                rtol=1e-4, atol=1e-6)
 
 

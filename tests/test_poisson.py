@@ -45,8 +45,11 @@ def test_masked_step_equals_fixed_batch_step(tmp_path):
                       "--poisson", "true", bs=bs)
     _, bf, sf = setup(tmp_path, "-dpm", "gc", "--conditional", "--sigma", "0",
                       bs=bs)
-    bf.use_ghost = False  # compare against the generic path exactly
-    assert bp.poisson and not bp.use_ghost
+    # force the generic path on BOTH sides for exact comparison (the ghost
+    # fast paths are pinned to the generic one in test_ghost/test_conv_ghost
+    # and below)
+    bp.use_ghost = bf.use_ghost = False
+    assert bp.poisson
     x, y = batch(bs)
     rng = jax.random.PRNGKey(4)
     valid = jnp.ones((bs,))
@@ -99,6 +102,93 @@ def test_masked_clipped_sum_equals_subset_sum(tmp_path):
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_ghost_paths_respect_mask(tmp_path):
+    """Both ghost fast paths honor the Poisson mask exactly (== the generic
+    masked clipped sum), so --poisson keeps the fast clipping."""
+    from csl_gan_tpu.ops import conv_ghost, ghost
+    bs, cap = 12, 16
+    valid = jnp.asarray([1.0] * bs + [0.0] * (cap - bs))
+    x, y = batch(cap, seed=5)
+
+    # vanilla D
+    opt, b, state = setup(tmp_path, "-dpm", "gc", "--conditional",
+                          "--poisson", "true", bs=bs)
+    assert b.use_ghost
+    f, args = b._real_ps_args(x, y, None)
+    fm, argsm = b._mask_loss(f, args, valid)
+    want, _ = gops.clipped_grad_sum(fm, state.d_params, *argsm, max_norm=0.05)
+    got, _, _ = ghost.vanilla_real_ghost(
+        state.d_params, x, jax.nn.one_hot(y, 10), y, b.aux_scalar, 0.05,
+        False, valid=valid)
+    for a, g in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=5e-4, atol=1e-6)
+
+    # conv D
+    opt2 = options.parse(["MNIST", "--model", "DeepConvResNet", "-dpm", "gc",
+                          "--conditional", "--poisson", "true",
+                          "-o", str(tmp_path / "o2"), "-bs", str(bs),
+                          "--manual_seed", "17"])
+    (G2, Gv2), (D2, Dv2) = init_models(opt2)
+    b2 = TrainStepBuilder(opt2, G2, D2)
+    s2 = b2.init_state(Gv2, Dv2)
+    assert b2.use_conv_ghost
+    row_w = b2._row_weights(y, valid)
+    f, args = b2._real_ps_args(x, y, row_w)
+    fm, argsm = b2._mask_loss(f, args, valid)
+    want, _ = gops.clipped_grad_sum(fm, s2.d_params, *argsm, max_norm=0.05)
+    got, _, _ = conv_ghost.dcresnet_real_ghost(
+        s2.d_params, x, y, n_classes=10, arch="ACGAN",
+        aux_type=b2.aux_type, aux_scalar=1.0, row_w=row_w,
+        concat_planes=False, max_norm=0.05, per_layer=False, valid=valid)
+    for a, g in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(a),
+                                   rtol=1e-3, atol=2e-5)
+
+
+def test_adaptive_norms_only_matches_generic(tmp_path):
+    """Adaptive clipping's conv-ghost norms == materialized per-sample grad
+    norms."""
+    opt = options.parse(["MNIST", "--model", "DeepConvResNet", "-dpm", "gc",
+                         "--conditional", "-gcm", "adaptive",
+                         "-nms", "1", "--mean_sample_size", "4",
+                         "-o", str(tmp_path / "o3"), "-bs", "8",
+                         "--manual_seed", "17"])
+    (G, Gv), (D, Dv) = init_models(opt)
+    b = TrainStepBuilder(opt, G, D)
+    state = b.init_state(Gv, Dv)
+    assert b.adaptive and b.use_conv_ghost
+    x, y = batch(8, seed=7)
+    got = b._adaptive_clipping(state.d_params, x, y)
+    b.use_conv_ghost = False
+    want = b._adaptive_clipping(state.d_params, x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_poisson_cap_clamped_to_dataset(tmp_path):
+    """High sampling rates (cap would exceed N) must not crash: cap clamps
+    to train_set_size and the draw stays shape-consistent."""
+    opt, b, state = setup(tmp_path, "-dpm", "gc", "--poisson", "true",
+                          "-tss", "100", bs=90)
+    assert b.poisson_cap == 100
+    images = jnp.zeros((100, 28, 28, 1))
+    labels = jnp.zeros((100,), jnp.int32)
+    x, y, valid = b.poisson_draw(images, labels, jax.random.PRNGKey(0))
+    assert x.shape[0] == valid.shape[0] == 100
+    assert 0 < float(jnp.sum(valid)) <= 100
+
+
+def test_adaptive_requires_public_or_mean_data(tmp_path):
+    """Reference parity made explicit: adaptive thresholds come from
+    public/mean data (reference train.py:204-216 crashes with neither)."""
+    with pytest.raises(Exception, match="[Aa]daptive"):
+        options.parse(["MNIST", "-dpm", "gc", "-gcm", "adaptive",
+                       "-o", str(tmp_path / "x")])
 
 
 def test_poisson_train_cli_scan_and_host(tmp_path):

@@ -51,6 +51,33 @@ def test_gc_step_sharded_matches_single(tmp_path):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
 
 
+def test_conv_gc_step_sharded_matches_single(tmp_path):
+    """The conv-ghost DP step (DCResNet family) over the sharded batch must
+    match single-device results — multi-chip coverage for the conv models
+    (the 64px CelebA presets differ only in channel counts)."""
+    args = ("-dpm", "gc", "--conditional", "--sigma", "0",
+            "--model", "DeepConvResNet")
+    opt, builder, state = setup(tmp_path, *args, bs=16)
+    assert builder.use_conv_ghost
+    kx, ky = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.uniform(kx, (16, 28, 28, 1))
+    y = jax.random.randint(ky, (16,), 0, 10)
+    rng = jax.random.PRNGKey(6)
+
+    _, b1, s1 = setup(tmp_path, *args, bs=16)
+    out1, _ = b1.d_step_dp(s1, x, y, x, y, x, y, rng)
+    ref = jax.device_get(out1.d_params)
+
+    ctx = make_mesh(n=8)
+    state = ctx.put_replicated(state)
+    xs, ys = ctx.put_batch(x, y)
+    out8, _ = builder.d_step_dp(state, xs, ys, xs, ys, xs, ys, rng)
+    got = jax.device_get(out8.d_params)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
 def test_g_step_sharded_runs(tmp_path):
     opt, builder, state = setup(tmp_path, "--conditional")
     ctx = make_mesh(n=8)

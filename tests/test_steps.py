@@ -115,7 +115,8 @@ def test_gc_per_layer_clipping_param_order(tmp_path):
 
 def test_adaptive_clipping_updates_state(tmp_path):
     opt, builder, state = make(tmp_path, "MNIST", "-dpm", "gc",
-                               "-gcm", "adaptive-pl", "--conditional")
+                               "-gcm", "adaptive-pl", "--conditional",
+                               "-nms", "1", "--mean_sample_size", "10")
     x, y = batch(9)
     clip_before = np.asarray(jax.device_get(state.clipping))
     s2, m = builder.d_step_dp(state, x, y, x, y, x, y, jax.random.PRNGKey(10))
