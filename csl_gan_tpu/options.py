@@ -256,6 +256,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mesh_shape", type=int, default=None,
                         help="Number of devices on the data-parallel mesh axis; "
                              "None = all visible devices.")
+    parser.add_argument("--fsdp", type=str2bool, default=False,
+                        help="Shard G/D params and Adam moments over the "
+                             "mesh's data axis (ZeRO-3 style; "
+                             "parallel/mesh.py). Per-device param+optimizer "
+                             "memory drops ~n_devices x; GSPMD inserts the "
+                             "gathers. No effect on a 1-device mesh.")
     parser.add_argument("--per_sample_chunk", type=int, default=None,
                         help="Chunk size for lax.scan-accumulated per-sample gradients "
                              "(bounds per-sample grad memory); None = whole batch vmap.")

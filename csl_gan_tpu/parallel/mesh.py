@@ -15,6 +15,16 @@ explicit `.to(device)` copies and a hand-written micro-batch pipeline
 
 The `-gd`/`-dd` device flags are kept for CLI/opt.txt compatibility but only
 select how many mesh devices to use via `--mesh_shape`.
+
+`--fsdp` additionally shards the model state itself (G/D params, Adam
+moments, and therefore the noisy summed gradients) over the same `data`
+axis, ZeRO-3 style: each large leaf is split on its biggest divisible
+dimension, GSPMD inserts the all-gathers at use sites and keeps the
+per-leaf optimizer update local to the shard. For these GAN sizes this is
+a memory/scaling capability, not a speed win — per-device param+optimizer
+memory drops ~n_devices×, which is what unlocks much larger D's whose
+per-sample-grad working set (the O(batch x params) axis, SURVEY.md §5.7)
+would not fit replicated.
 """
 
 from __future__ import annotations
@@ -26,12 +36,39 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Leaves smaller than this stay replicated under --fsdp: sharding tiny
+# biases/scalars only buys collectives (the clipping vector, Adam counts,
+# and GroupNorm scales all land here).
+_FSDP_MIN_LEAF = 2 ** 11
+
+
+def fsdp_spec(shape, n: int) -> P:
+    """PartitionSpec sharding the largest n-divisible dim over `data`.
+
+    Replicates when the leaf is small or no dimension divides n (shard
+    shapes must be uniform; padding a remainder shard would corrupt the
+    DP-noise and Adam arithmetic for no benefit at these sizes).
+    """
+    size = 1
+    for d in shape:
+        size *= d
+    if not shape or size < _FSDP_MIN_LEAF:
+        return P()
+    cands = [(d, ax) for ax, d in enumerate(shape) if d % n == 0]
+    if not cands:
+        return P()
+    _, ax = max(cands)
+    spec = [None] * len(shape)
+    spec[ax] = "data"
+    return P(*spec)
+
 
 @dataclass
 class MeshContext:
     mesh: Mesh
     batch: NamedSharding      # shard leading (batch) axis over `data`
     replicated: NamedSharding
+    fsdp: bool = False
 
     @property
     def n_devices(self) -> int:
@@ -45,13 +82,55 @@ class MeshContext:
     def put_replicated(self, tree):
         return jax.device_put(tree, self.replicated)
 
+    # ---- FSDP (ZeRO-3-style state sharding over the data axis) ----
 
-def make_mesh(opt=None, devices=None, n: Optional[int] = None) -> MeshContext:
+    def leaf_sharding(self, leaf) -> NamedSharding:
+        return NamedSharding(
+            self.mesh, fsdp_spec(np.shape(leaf), self.n_devices))
+
+    def state_shardings(self, tree):
+        """A NamedSharding per leaf: fsdp_spec when --fsdp, else replicated.
+
+        Applied uniformly over the whole TrainState: params and the Adam
+        mu/nu moments share shapes, so they shard identically; batch_stats,
+        the clipping vector, and scalars fall under the size floor and stay
+        replicated.
+        """
+        if not self.fsdp:
+            return jax.tree.map(lambda _: self.replicated, tree)
+        return jax.tree.map(self.leaf_sharding, tree)
+
+    def put_state(self, tree):
+        """Commit a TrainState to the mesh (sharded under --fsdp)."""
+        if not self.fsdp:
+            return self.put_replicated(tree)
+        return jax.tree.map(
+            lambda l, s: jax.device_put(l, s), tree,
+            self.state_shardings(tree))
+
+    def constrain_state(self, tree):
+        """with_sharding_constraint pinning a traced TrainState to its
+        FSDP layout — applied at jitted-step outputs so GSPMD keeps the
+        updated params/moments sharded instead of gathering them."""
+        if not self.fsdp:
+            return tree
+        return jax.tree.map(
+            lambda l: jax.lax.with_sharding_constraint(
+                l, NamedSharding(self.mesh, fsdp_spec(l.shape,
+                                                      self.n_devices))),
+            tree)
+
+
+def make_mesh(opt=None, devices=None, n: Optional[int] = None,
+              fsdp: Optional[bool] = None) -> MeshContext:
     devices = jax.devices() if devices is None else devices
     if n is None:
         n = getattr(opt, "mesh_shape", None) if opt is not None else None
     n = len(devices) if not n else min(n, len(devices))
+    if fsdp is None:
+        fsdp = bool(getattr(opt, "fsdp", False)) if opt is not None else False
     mesh = Mesh(np.asarray(devices[:n]), ("data",))
     return MeshContext(mesh=mesh,
                        batch=NamedSharding(mesh, P("data")),
-                       replicated=NamedSharding(mesh, P()))
+                       replicated=NamedSharding(mesh, P()),
+                       fsdp=fsdp and n > 1)

@@ -146,10 +146,14 @@ class Trainer:
         self.mesh = make_mesh(opt)
         self._torch_idx = np.asarray(
             param_order.torch_order_indices(D_vars["params"]))
-        # Commit the state to the mesh's replicated sharding up-front so the
-        # first step compiles once (uncommitted args would otherwise trigger
-        # a second compile when outputs come back committed).
-        self.state = self.mesh.put_replicated(self.state)
+        # Commit the state to the mesh up-front (replicated, or ZeRO-3
+        # sharded under --fsdp) so the first step compiles once (uncommitted
+        # args would otherwise trigger a second compile when outputs come
+        # back committed). Under --fsdp the builder's steps also pin their
+        # output state to the same leaf shardings.
+        if self.mesh.fsdp:
+            self.builder._constrain_state = self.mesh.constrain_state
+        self.state = self.mesh.put_state(self.state)
         self._setup_device_data()
 
         self.accountant = make_accountant(opt) if opt.use_dp else None
@@ -163,6 +167,8 @@ class Trainer:
             self.start_epoch = opt.resume_epochs
             if acc_state and opt.use_dp:
                 self.accountant = accountant_from_state_dict(acc_state)
+            # Checkpoint loads replace leaves with host arrays; re-commit.
+            self.state = self.mesh.put_state(self.state)
 
         # Fixed sampling grid (train.py:256-261).
         self.root_key = jax.random.PRNGKey(opt.manual_seed)

@@ -158,12 +158,29 @@ class TrainStepBuilder:
                              and self.chunk is None and not self.use_bpc
                              and self.compute_dtype is None)
 
+        # Installed by the Trainer under --fsdp (parallel/mesh.py
+        # MeshContext.constrain_state): pins each jitted step's output
+        # TrainState to the ZeRO-3 leaf shardings so GSPMD keeps params and
+        # Adam moments sharded across steps. Identity otherwise. Read at
+        # trace time (first call), so installing it after construction but
+        # before the first step is safe.
+        self._constrain_state = lambda s: s
+
         # jitted entry points
-        self.d_step_plain = jax.jit(self._d_step_plain, donate_argnums=(0,))
-        self.g_step = jax.jit(self._g_step, donate_argnums=(0,))
+        self.d_step_plain = jax.jit(self._with_state_out(self._d_step_plain),
+                                    donate_argnums=(0,))
+        self.g_step = jax.jit(self._with_state_out(self._g_step),
+                              donate_argnums=(0,))
         dp = {"gc": self._d_step_gc, "is": self._d_step_is,
               "tm": self._d_step_tmsv, "sv": self._d_step_tmsv}.get(self.dp_mode)
-        self.d_step_dp = jax.jit(dp, donate_argnums=(0,)) if dp else None
+        self.d_step_dp = jax.jit(self._with_state_out(dp),
+                                 donate_argnums=(0,)) if dp else None
+
+    def _with_state_out(self, fn):
+        def wrapped(state, *a):
+            new_state, metrics = fn(state, *a)
+            return self._constrain_state(new_state), metrics
+        return wrapped
 
     # ---------------- state ----------------
 
@@ -989,6 +1006,7 @@ class TrainStepBuilder:
             xs = (jnp.arange(n), g_mask)
             (state, rng, d_loss_acc), (dms, gms, g_ons) = jax.lax.scan(
                 body, (state, rng, d_loss_acc), xs)
+            state = self._constrain_state(state)
             d_sums = jax.tree.map(lambda a: jnp.sum(a, axis=0), dms)
             if self.dp_mode == "is" and use_dp:
                 # True interval extremes for the IS sensitivity log columns

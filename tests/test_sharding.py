@@ -91,3 +91,95 @@ def test_batch_actually_sharded():
     x = jnp.ones((32, 4))
     xs = ctx.put_batch(x)
     assert len(xs.sharding.device_set) == 8
+
+
+# ---------------- --fsdp: ZeRO-3-style state sharding ----------------
+
+def _fsdp_setup(tmp_path, *argv, bs=32):
+    opt, builder, state = setup(tmp_path, *argv, bs=bs)
+    ctx = make_mesh(n=8, fsdp=True)
+    builder._constrain_state = ctx.constrain_state
+    return ctx, builder, ctx.put_state(state)
+
+
+def test_fsdp_spec_picks_divisible_axis():
+    from csl_gan_tpu.parallel.mesh import fsdp_spec
+    from jax.sharding import PartitionSpec as P
+    assert fsdp_spec((794, 128), 8) == P(None, "data")   # 794 % 8 != 0
+    assert fsdp_spec((5, 5, 512, 256), 8) == P(None, None, "data", None)
+    assert fsdp_spec((128,), 8) == P()                   # under size floor
+    assert fsdp_spec((), 8) == P()
+    assert fsdp_spec((4093, 3), 8) == P()                # nothing divisible
+
+
+def test_fsdp_state_actually_sharded(tmp_path):
+    ctx, builder, state = _fsdp_setup(tmp_path, "-dpm", "gc", "--conditional")
+    sharded = [l for l in jax.tree_util.tree_leaves(state.d_params)
+               if len(l.sharding.device_set) == 8
+               and l.addressable_shards[0].data.size < l.size]
+    assert sharded, "no D param leaf is actually sharded under --fsdp"
+    # Adam moments follow the params' shardings (same shapes).
+    mu_sharded = [l for l in jax.tree_util.tree_leaves(state.d_opt_state)
+                  if hasattr(l, "sharding")
+                  and l.addressable_shards[0].data.size < l.size]
+    assert mu_sharded
+
+
+def test_fsdp_gc_step_matches_replicated(tmp_path):
+    args = ("-dpm", "gc", "--conditional", "--sigma", "0")
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.uniform(kx, (32, 28, 28, 1))
+    y = jax.random.randint(ky, (32,), 0, 10)
+    rng = jax.random.PRNGKey(1)
+
+    _, b1, s1 = setup(tmp_path, *args)
+    out1, _ = b1.d_step_dp(s1, x, y, x, y, x, y, rng)
+    out1, _ = b1.g_step(out1, rng)
+    ref = jax.device_get((out1.d_params, out1.g_params))
+
+    ctx, b2, s2 = _fsdp_setup(tmp_path, *args)
+    xs, ys = ctx.put_batch(x, y)
+    out2, _ = b2.d_step_dp(s2, xs, ys, xs, ys, xs, ys, rng)
+    out2, _ = b2.g_step(out2, rng)
+    # Output state stays FSDP-sharded across steps (the constraint held).
+    still = [l for l in jax.tree_util.tree_leaves(out2.d_params)
+             if l.addressable_shards[0].data.size < l.size]
+    assert still, "step output lost its FSDP sharding"
+    got = jax.device_get((out2.d_params, out2.g_params))
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
+def test_fsdp_segment_runner_matches(tmp_path):
+    """The interval scan with FSDP state + sharded batch == plain run."""
+    args = ("--conditional", "-dpm", "gc", "--sigma", "0")
+    opt, b1, s1 = setup(tmp_path, *args, bs=16)
+    kx, ky = jax.random.split(jax.random.PRNGKey(2))
+    images = jax.random.uniform(kx, (64, 28, 28, 1))
+    labels = jax.random.randint(ky, (64,), 0, 10)
+    perm = jnp.arange(64)
+    g_mask = jnp.asarray([True, False, True])
+    rng = jax.random.PRNGKey(11)
+
+    r1 = b1.build_segment_runner(use_dp=True)
+    ref, *_ = r1(s1, rng, images, labels, perm, 0, g_mask,
+                 jnp.zeros(()), jnp.zeros(()))
+
+    ctx, b2, s2 = _fsdp_setup(tmp_path, *args, bs=16)
+    r2 = b2.build_segment_runner(use_dp=True, batch_sharding=ctx.batch)
+    got, *_ = r2(s2, rng, ctx.put_replicated(images),
+                 ctx.put_replicated(labels), ctx.put_replicated(perm),
+                 0, g_mask, jnp.zeros(()), jnp.zeros(()))
+    for a, b in zip(jax.tree_util.tree_leaves(ref.d_params),
+                    jax.tree_util.tree_leaves(got.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_fsdp_flag_roundtrip(tmp_path):
+    from csl_gan_tpu import options
+    opt = options.parse(["MNIST", "--fsdp", "true", "-o", str(tmp_path / "o")])
+    assert make_mesh(opt, n=8).fsdp
+    opt2 = options.parse(["MNIST", "-o", str(tmp_path / "p")])
+    assert not make_mesh(opt2, n=8).fsdp
