@@ -162,7 +162,25 @@ class CelebADataset:
             return np.load(path, mmap_mode="r"), labels
         print(f"[csl_gan_tpu] decoding {self.length} CelebA images into {path} ...")
         arr = np.empty((self.length, self.im_size, self.im_size, 3), np.uint8)
-        for i in range(self.length):
-            arr[i] = np.clip(self._decode(i + 1) * 255.0 + 0.5, 0, 255)
+        done = np.zeros(self.length, bool)
+        if not self.synthetic:
+            # Native C++ pipeline (data/native): threaded libjpeg decode +
+            # PIL-parity resample+crop — the reference gets this parallelism
+            # from torch DataLoader worker processes; here it's a thread
+            # pool with no IPC. Falls back to PIL per-image on any failure.
+            from csl_gan_tpu.data import native
+            if native.available():
+                chunk = 4096
+                for lo in range(0, self.length, chunk):
+                    hi = min(lo + chunk, self.length)
+                    paths = [os.path.join(
+                        self.root,
+                        str(self.offset + i + 1).zfill(6) + "." + self.ext)
+                        for i in range(lo, hi)]
+                    out, ok = native.decode_batch(paths, self.im_size)
+                    arr[lo:hi] = out
+                    done[lo:hi] = ok
+        for i in np.nonzero(~done)[0]:
+            arr[i] = np.clip(self._decode(int(i) + 1) * 255.0 + 0.5, 0, 255)
         np.save(path, arr)
         return np.load(path, mmap_mode="r"), labels
