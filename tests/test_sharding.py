@@ -183,3 +183,32 @@ def test_fsdp_flag_roundtrip(tmp_path):
     assert make_mesh(opt, n=8).fsdp
     opt2 = options.parse(["MNIST", "-o", str(tmp_path / "p")])
     assert not make_mesh(opt2, n=8).fsdp
+
+
+def test_fsdp_conv_ghost_step_matches(tmp_path):
+    """FSDP with the DCResNet D: the conv kernels are the leaves that
+    really shard; the conv-ghost DP step must still match replicated."""
+    args = ("-dpm", "gc", "--conditional", "--sigma", "0",
+            "--model", "DeepConvResNet")
+    kx, ky = jax.random.split(jax.random.PRNGKey(9))
+    x = jax.random.uniform(kx, (16, 28, 28, 1))
+    y = jax.random.randint(ky, (16,), 0, 10)
+    rng = jax.random.PRNGKey(10)
+
+    _, b1, s1 = setup(tmp_path, *args, bs=16)
+    assert b1.use_conv_ghost
+    out1, _ = b1.d_step_dp(s1, x, y, x, y, x, y, rng)
+    ref = jax.device_get(out1.d_params)
+
+    ctx, b2, s2 = _fsdp_setup(tmp_path, *args, bs=16)
+    xs, ys = ctx.put_batch(x, y)
+    out2, _ = b2.d_step_dp(s2, xs, ys, xs, ys, xs, ys, rng)
+    n_shard = sum(1 for l in jax.tree_util.tree_leaves(out2.d_params)
+                  if l.addressable_shards[0].data.size < l.size)
+    assert n_shard >= 3, f"expected conv kernels sharded, got {n_shard}"
+    got = jax.device_get(out2.d_params)
+    # atol covers 8-way-psum reduction-order drift on the conv-ghost
+    # weighted sums (observed max ~1.5e-5 on the aux kernel).
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
