@@ -137,8 +137,8 @@ class CelebADataset:
             ys.append(y)
         return np.stack(xs), np.asarray(ys, dtype=np.int64)
 
-    def decoded_cache(self, cache_dir: Optional[str] = None
-                      ) -> Tuple[np.ndarray, np.ndarray]:
+    def decoded_cache(self, cache_dir: Optional[str] = None,
+                      n_threads: int = 0) -> Tuple[np.ndarray, np.ndarray]:
         """Decode-once uint8 cache of the whole dataset (no flip, no
         normalize — those run on-device per epoch).
 
@@ -177,7 +177,8 @@ class CelebADataset:
                         self.root,
                         str(self.offset + i + 1).zfill(6) + "." + self.ext)
                         for i in range(lo, hi)]
-                    out, ok = native.decode_batch(paths, self.im_size)
+                    out, ok = native.decode_batch(paths, self.im_size,
+                                                  n_threads=n_threads)
                     arr[lo:hi] = out
                     done[lo:hi] = ok
         for i in np.nonzero(~done)[0]:

@@ -88,7 +88,10 @@ class Trainer:
         # step). The host fallback applies the same transform in numpy.
         self._uint8_images = False
         if opt.dataset == "CelebA" and not opt_get(opt, "host_loop", False):
-            u8, cache_labels = self.dataset.decoded_cache()
+            # -nw/--num_workers maps to the native decoder's thread count
+            # (the reference's DataLoader worker knob, init_util.py:39).
+            u8, cache_labels = self.dataset.decoded_cache(
+                n_threads=opt_get(opt, "num_workers", 0) or 0)
             flip_rng = np.random.default_rng(opt.manual_seed + 13)
 
             def host_transform(batch):
