@@ -22,12 +22,27 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from csl_gan_tpu.models.common import (TorchConv, TorchDense, one_hot,
-                                       upsample_nearest_2x)
+                                       torch_kernel_init, upsample_nearest_2x)
 
 
-class UpsampleConv(nn.Module):
-    """Nearest-2x upsample + same-padded conv (reference DCResNet_models.py:8-17)."""
+class _PhaseConv(nn.Module):
+    """Param-owning core of the fused upsample-conv (stands in for the
+    nn.Conv inside TorchConv: same name, param names, shapes, and inits, so
+    checkpoints/param-order/weights_seed are unchanged).
+
+    Computes conv_k(upsample_nearest_2x(x)) WITHOUT materializing the 2x
+    image: because upsampled pixels repeat in 2x2 blocks, each of the 4
+    output phases (a,b) sees the k-tap kernel collapsed onto
+    ceil((k+1)/2) low-res taps — for k=5, four 3x3 phase kernels evaluated
+    as ONE conv with 4x output features + depth-to-space. 36 vs 100 MACs
+    per low-res pixel per channel pair (2.78x fewer; 25->4 for the 1x1
+    shortcut, handled in UpsampleConv). Exact up to kernel-tap pre-summing
+    (float-level). Zero `SAME` padding of the 2x image corresponds 1:1 to
+    zero padding of the low-res input, so boundaries are exact too.
+    """
     features: int
     kernel_size: int
     use_bias: bool = True
@@ -35,9 +50,94 @@ class UpsampleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return TorchConv(self.features, self.kernel_size, padding="SAME",
-                         use_bias=self.use_bias,
-                         dtype=self.dtype)(upsample_nearest_2x(x))
+        k = self.kernel_size
+        r = (k - 1) // 2
+        cin = x.shape[-1]
+        fan_in = cin * k * k
+        bound = 1.0 / (fan_in ** 0.5)
+        kernel = self.param("kernel", torch_kernel_init(),
+                            (k, k, cin, self.features))
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                lambda kk, s, d=jnp.float32: jax.random.uniform(
+                    kk, s, d, -bound, bound),
+                (self.features,))
+
+        # Collapse the k x k kernel into 4 phase kernels of size mk x mk:
+        # output pixel (2i+a, 2j+b) reads upsampled pixel (2i+a+dy, 2j+b+dx)
+        # = x[i + (a+dy)//2, j + (b+dx)//2] (floor division).
+        m_lo = (0 - r) // 2
+        m_hi = (1 + r) // 2
+        mk = m_hi - m_lo + 1
+        k4 = jnp.zeros((mk, mk, cin, 2, 2, self.features), kernel.dtype)
+        for a in (0, 1):
+            for b in (0, 1):
+                for dy in range(-r, r + 1):
+                    for dx in range(-r, r + 1):
+                        k4 = k4.at[(a + dy) // 2 - m_lo,
+                                   (b + dx) // 2 - m_lo, :, a, b, :].add(
+                            kernel[dy + r, dx + r])
+        k4 = k4.reshape(mk, mk, cin, 4 * self.features)
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            k4 = k4.astype(self.dtype)
+        pad = -m_lo
+        o = jax.lax.conv_general_dilated(
+            x, k4, window_strides=(1, 1),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        n, h, w, _ = o.shape
+        # depth-to-space: (a, b, feature) minor order set by the k4 reshape.
+        o = o.reshape(n, h, w, 2, 2, self.features)
+        o = o.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, 2 * h, 2 * w, self.features)
+        if bias is not None:
+            o = o + bias
+        if self.dtype is not None:
+            o = o.astype(self.dtype)
+        return o
+
+
+class _FusedUpConv(nn.Module):
+    """Name-compatible stand-in for the TorchConv child of UpsampleConv."""
+    features: int
+    kernel_size: int
+    use_bias: bool = True
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _PhaseConv(self.features, self.kernel_size,
+                          use_bias=self.use_bias, dtype=self.dtype,
+                          name="Conv_0")(x)
+
+
+class UpsampleConv(nn.Module):
+    """Nearest-2x upsample + same-padded conv (reference DCResNet_models.py:8-17).
+
+    Computed in collapsed phase form (see _PhaseConv); for the 1x1 shortcut
+    the conv commutes with the upsample exactly, so it runs at low res
+    (4x fewer MACs). Param tree is identical to the naive
+    TorchConv(upsample(x)) formulation.
+    """
+    features: int
+    kernel_size: int
+    use_bias: bool = True
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kernel_size == 1:
+            return upsample_nearest_2x(
+                TorchConv(self.features, 1, padding="SAME",
+                          use_bias=self.use_bias, dtype=self.dtype)(x))
+        return _FusedUpConv(self.features, self.kernel_size,
+                            use_bias=self.use_bias, dtype=self.dtype,
+                            name="TorchConv_0")(x)
 
 
 class ResBlockUp(nn.Module):

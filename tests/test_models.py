@@ -180,3 +180,45 @@ def test_g_embed_mode(tmp_path):
     flat = jax.tree_util.tree_flatten_with_path(Gv["params"])[0]
     emb = [l for p, l in flat if any("Embed" in str(k) for k in p)]
     assert emb and emb[0].shape == (10, opt.g_latent_dim)
+
+
+def test_fused_upsample_conv_equals_naive():
+    """UpsampleConv's collapsed phase form (models/dcresnet.py _PhaseConv)
+    must equal conv_k(upsample_nearest_2x(x)) — same param tree, same init
+    values (identical flax param paths), float-level output/grad agreement."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from csl_gan_tpu.models.common import TorchConv, upsample_nearest_2x
+    from csl_gan_tpu.models.dcresnet import UpsampleConv
+
+    class Naive(nn.Module):
+        features: int
+        kernel_size: int
+
+        @nn.compact
+        def __call__(self, x):
+            return TorchConv(self.features, self.kernel_size, padding="SAME")(
+                upsample_nearest_2x(x))
+
+    for k, (h, w, cin, cout) in [(5, (7, 7, 8, 16)), (3, (4, 6, 3, 5)),
+                                 (1, (5, 5, 4, 4))]:
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, h, w, cin))
+        fused, naive = UpsampleConv(cout, k), Naive(cout, k)
+        vf = fused.init(jax.random.PRNGKey(11), x)
+        vn = naive.init(jax.random.PRNGKey(11), x)
+        for a, b in zip(jax.tree_util.tree_leaves(vf),
+                        jax.tree_util.tree_leaves(vn)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        of = fused.apply(vn, x)
+        on = naive.apply(vn, x)
+        assert of.shape == (2, 2 * h, 2 * w, cout)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(on),
+                                   rtol=1e-5, atol=1e-5)
+        gf = jax.grad(lambda v: jnp.sum(jnp.sin(fused.apply(v, x))))(vn)
+        gn = jax.grad(lambda v: jnp.sum(jnp.sin(naive.apply(v, x))))(vn)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gn)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
