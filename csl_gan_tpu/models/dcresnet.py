@@ -81,24 +81,28 @@ class _PhaseConv(nn.Module):
                             kernel[dy + r, dx + r])
         k4 = k4.reshape(mk, mk, cin, 4 * self.features)
 
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            k4 = k4.astype(self.dtype)
+        # Same dtype rule as nn.Conv/promote_dtype: with dtype=None, inputs
+        # and params promote to a common type (raw lax.conv does not).
+        cdtype = self.dtype
+        if cdtype is None:
+            cdtype = jnp.result_type(x.dtype, kernel.dtype)
+        x = x.astype(cdtype)
+        k4 = k4.astype(cdtype)
         pad = -m_lo
+        # No preferred_element_type: like nn.Conv, output dtype == cdtype
+        # (the MXU still accumulates fp32 internally for bf16 inputs), and
+        # the conv transpose rule then sees matching cotangent/kernel dtypes.
         o = jax.lax.conv_general_dilated(
             x, k4, window_strides=(1, 1),
             padding=[(pad, pad), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         n, h, w, _ = o.shape
         # depth-to-space: (a, b, feature) minor order set by the k4 reshape.
         o = o.reshape(n, h, w, 2, 2, self.features)
         o = o.transpose(0, 1, 3, 2, 4, 5).reshape(
             n, 2 * h, 2 * w, self.features)
         if bias is not None:
-            o = o + bias
-        if self.dtype is not None:
-            o = o.astype(self.dtype)
+            o = o + bias.astype(cdtype)
         return o
 
 
