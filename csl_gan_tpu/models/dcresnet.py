@@ -26,6 +26,28 @@ import jax
 
 from csl_gan_tpu.models.common import (TorchConv, TorchDense, one_hot,
                                        torch_kernel_init, upsample_nearest_2x)
+from csl_gan_tpu.ops import pallas_groupnorm
+
+
+class _GroupNormRelu(nn.Module):
+    """relu(GroupNorm(x)) with nn.GroupNorm's param names/shapes/inits
+    (instantiated with name="GroupNorm_i" so the param tree is identical to
+    the unfused nn.GroupNorm + nn.relu formulation). Dispatches through
+    ops/pallas_groupnorm.group_norm_relu — the XLA formulation by default
+    (measured faster than the hand-written Pallas kernel there; see that
+    module's docstring); stats always fp32, output in x.dtype."""
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          jnp.float32)
+        return pallas_groupnorm.group_norm_relu(x, scale, bias,
+                                                self.groups, self.eps)
 
 
 class _PhaseConv(nn.Module):
@@ -160,17 +182,17 @@ class ResBlockUp(nn.Module):
         if self.bn:
             o = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                              use_running_average=not train)(x.astype(jnp.float32))
+            o = nn.relu(o)
         else:
-            o = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x.astype(jnp.float32))
-        o = nn.relu(o)
+            o = _GroupNormRelu(name="GroupNorm_0")(x)
         o = UpsampleConv(self.features, self.kernel_size, use_bias=False,
                          dtype=self.dtype)(o)
         if self.bn:
             o = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                              use_running_average=not train)(o.astype(jnp.float32))
+            o = nn.relu(o)
         else:
-            o = nn.GroupNorm(num_groups=32, epsilon=1e-5)(o.astype(jnp.float32))
-        o = nn.relu(o)
+            o = _GroupNormRelu(name="GroupNorm_1")(o)
         o = TorchConv(self.features, self.kernel_size, padding="SAME",
                       dtype=self.dtype)(o)
 
@@ -212,9 +234,9 @@ class DCResNetGenerator(nn.Module):
         if self.bn:
             x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                              use_running_average=not train)(x.astype(jnp.float32))
+            x = nn.relu(x)
         else:
-            x = nn.GroupNorm(num_groups=32, epsilon=1e-5)(x.astype(jnp.float32))
-        x = nn.relu(x)
+            x = _GroupNormRelu(name="GroupNorm_0")(x)
         x = TorchConv(self.out_ch, 3, padding="SAME", dtype=self.dtype)(x)
         return nn.tanh(x.astype(jnp.float32))
 

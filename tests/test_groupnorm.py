@@ -1,0 +1,103 @@
+"""Fused GroupNorm+ReLU (ops/pallas_groupnorm.py) equivalence tests.
+
+Pins (a) the XLA fallback against flax nn.GroupNorm + relu (the formulation
+the reference's torch GroupNorm matches, DCResNet_models.py:24-36), and
+(b) the Pallas kernels (interpret mode on CPU) against the fallback —
+forward values and gradients w.r.t. x, scale, and bias."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from csl_gan_tpu.ops import pallas_groupnorm as pgn
+
+
+SHAPES = [
+    ((4, 8, 8, 64), 32),    # channels > lanes/2, multi-sample tile
+    ((2, 4, 4, 128), 32),   # small spatial
+    ((3, 7, 7, 64), 32),    # non-aligned spatial (MNIST-DCRN-like)
+    ((2, 5, 5, 8), 4),      # tiny groups
+]
+
+
+def _ref(x, scale, bias, groups, eps=1e-5):
+    gn = nn.GroupNorm(num_groups=groups, epsilon=eps)
+    y = gn.apply({"params": {"scale": scale, "bias": bias}},
+                 x.astype(jnp.float32))
+    return nn.relu(y).astype(x.dtype)
+
+
+@pytest.mark.parametrize("shape,groups", SHAPES)
+def test_xla_fallback_matches_flax(shape, groups):
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, shape) * 2.0 + 0.3
+    scale = jax.random.normal(jax.random.fold_in(k, 1), (shape[-1],)) + 1.0
+    bias = jax.random.normal(jax.random.fold_in(k, 2), (shape[-1],)) * 0.1
+    got = pgn._gn_relu_xla(x, scale, bias, groups, 1e-5)
+    want = _ref(x, scale, bias, groups)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,groups", SHAPES)
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_pallas_interpret_matches_fallback(shape, groups, dtype):
+    k = jax.random.PRNGKey(7)
+    x = (jax.random.normal(k, shape) * 2.0 + 0.3).astype(dtype)
+    scale = jax.random.normal(jax.random.fold_in(k, 1), (shape[-1],)) + 1.0
+    bias = jax.random.normal(jax.random.fold_in(k, 2), (shape[-1],)) * 0.1
+
+    old_force, old_interp = pgn.FORCE, pgn.INTERPRET
+    pgn.FORCE, pgn.INTERPRET = True, True
+    try:
+        got = pgn.group_norm_relu(x, scale, bias, groups)
+
+        def loss_p(x, s, b):
+            y = pgn.group_norm_relu(x, s, b, groups)
+            return jnp.sum(jnp.sin(y.astype(jnp.float32) * 0.7))
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, scale, bias)
+    finally:
+        pgn.FORCE, pgn.INTERPRET = old_force, old_interp
+
+    want = pgn._gn_relu_xla(x, scale, bias, groups, 1e-5)
+
+    def loss_x(x, s, b):
+        y = pgn._gn_relu_xla(x, s, b, groups, 1e-5)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32) * 0.7))
+
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, scale, bias)
+
+    tol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=tol, atol=tol)
+
+
+def test_batch_tile_divisors():
+    assert pgn._batch_tile(128, 16, 512) * 16 * 512 <= pgn._BLOCK_ELEMS
+    assert 128 % pgn._batch_tile(128, 16, 512) == 0
+    assert pgn._batch_tile(500, 49, 128) in {25, 20, 10, 5, 4, 2, 1}
+    assert 500 % pgn._batch_tile(500, 49, 128) == 0
+    assert pgn._batch_tile(128, 4096, 64) == 1
+
+
+def test_model_param_tree_unchanged():
+    """_GroupNormRelu(name="GroupNorm_i") must produce the same param paths
+    and init values as nn.GroupNorm (checkpoint/param-order compatibility)."""
+    from csl_gan_tpu.models.dcresnet import DCResNetGenerator
+    G = DCResNetGenerator(channels=[64, 64], first_filter_size=4,
+                          z_dim=16, n_classes=0, bn=False)
+    v = G.init(jax.random.PRNGKey(0), jnp.zeros((2, 16)))
+    flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    paths = {"/".join(str(getattr(p, "key", p)) for p in path)
+             for path, _ in flat}
+    assert any("ResBlockUp_0/GroupNorm_0/scale" == p for p in paths), paths
+    assert any("ResBlockUp_0/GroupNorm_1/bias" == p for p in paths), paths
+    assert any("GroupNorm_0/scale" == p for p in paths), paths

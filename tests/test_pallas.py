@@ -58,10 +58,52 @@ def test_leaf_padding():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_groupnorm_fused_matches_fallback():
+    """Compiled fused GroupNorm+ReLU (fwd + custom bwd) vs the XLA fallback
+    on real CelebA-G shapes, fp32 and bf16. The Pallas path is opt-in
+    (measured slower than XLA's lowering, ops/pallas_groupnorm.py)."""
+    from csl_gan_tpu.ops import pallas_groupnorm as pgn
+    k = jax.random.PRNGKey(11)
+    old_force = pgn.FORCE
+    pgn.FORCE = True
+    try:
+        for shape, dtype, tol in [((128, 8, 8, 512), jnp.float32, 1e-4),
+                                  ((16, 64, 64, 64), jnp.bfloat16, 5e-2),
+                                  ((128, 16, 16, 256), jnp.bfloat16, 5e-2)]:
+            x = (jax.random.normal(k, shape) + 0.2).astype(dtype)
+            c = shape[-1]
+            scale = jax.random.normal(jax.random.fold_in(k, 1), (c,)) + 1.0
+            bias = jax.random.normal(jax.random.fold_in(k, 2), (c,)) * 0.1
+
+            got = pgn.group_norm_relu(x, scale, bias, 32)
+            want = pgn._gn_relu_xla(x, scale, bias, 32, 1e-5)
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(want, np.float32),
+                                       rtol=tol, atol=tol)
+
+            def loss(fn, x, s, b):
+                y = fn(x, s, b)
+                return jnp.sum(jnp.sin(y.astype(jnp.float32) * 0.7))
+
+            gp = jax.grad(lambda x, s, b: loss(
+                lambda *a: pgn.group_norm_relu(*a, 32), x, s, b),
+                argnums=(0, 1, 2))(x, scale, bias)
+            gx = jax.grad(lambda x, s, b: loss(
+                lambda *a: pgn._gn_relu_xla(*a, 32, 1e-5), x, s, b),
+                argnums=(0, 1, 2))(x, scale, bias)
+            for a, b in zip(gp, gx):
+                np.testing.assert_allclose(np.asarray(a, np.float32),
+                                           np.asarray(b, np.float32),
+                                           rtol=tol, atol=tol)
+    finally:
+        pgn.FORCE = old_force
+
+
 if __name__ == "__main__":
     # Standalone TPU driver (bypasses the CPU-pinning conftest).
     test_weighted_sum_exact()
     test_noise_calibration()
     test_seed_independence()
     test_leaf_padding()
+    test_groupnorm_fused_matches_fallback()
     print("pallas kernel tests: all OK on", jax.devices())
