@@ -75,7 +75,9 @@ def test_conv_gc_step_sharded_matches_single(tmp_path):
     got = jax.device_get(out8.d_params)
     for a, b in zip(jax.tree_util.tree_leaves(ref),
                     jax.tree_util.tree_leaves(got)):
-        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+        # atol covers 8-way-psum reduction-order drift (the G's phase-form
+        # upsample-conv pre-sums kernel taps, shifting rounding slightly).
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-5)
 
 
 def test_g_step_sharded_runs(tmp_path):
