@@ -44,13 +44,19 @@ def _image_shape(opt):
     return (opt.im_size, opt.im_size, 3)
 
 
-def init_models(opt, init_G: bool = True, init_D: bool = True):
+def init_models(opt, init_G: bool = True, init_D: bool = True,
+                abstract: bool = False):
     """Build (G, G_vars), (D, D_vars) per config.
 
     Mirrors init_util.py:44-71: ``n_classes = opt.n_classes if conditional
     else 0``, and ``bn = not per_sample_grad`` — BatchNorm is swapped for
     GroupNorm when per-sample gradients are required (applies to G; D has no
     norm layers in either family).
+
+    ``abstract=True`` skips the (expensive) real weight init: variables are
+    shape-inferred via ``jax.eval_shape`` and materialized as zeros — for
+    consumers that only need correctly-shaped trees (shape/trace tests,
+    structure inspection).
     """
     n_classes = opt.n_classes if opt.conditional else 0
     bn = not opt_get(opt, "per_sample_grad", False)
@@ -60,13 +66,19 @@ def init_models(opt, init_G: bool = True, init_D: bool = True):
     key = jax.random.PRNGKey(opt.weights_seed)
     g_key, d_key = jax.random.split(key)
 
+    def run_init(fn, *args):
+        if not abstract:
+            return fn(*args)
+        shapes = jax.eval_shape(fn, *args)
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
     G = G_vars = D = D_vars = None
     if init_G:
         G = g_ctor(z_dim=opt.g_latent_dim, bn=bn, n_classes=n_classes,
                    emb_mode=opt.g_label_emb_mode, dtype=dtype)
         z = jnp.zeros((1, opt.g_latent_dim), jnp.float32)
         y = jnp.zeros((1,), jnp.int32) if n_classes > 0 else None
-        G_vars = G.init(g_key, z, y, train=True)
+        G_vars = run_init(lambda k: G.init(k, z, y, train=True), g_key)
     if init_D:
         d_kwargs = {}
         if opt_get(opt, "backprop_clip", False):
@@ -81,6 +93,6 @@ def init_models(opt, init_G: bool = True, init_D: bool = True):
                    **d_kwargs)
         x = jnp.zeros((1,) + _image_shape(opt), jnp.float32)
         y = jnp.zeros((1,), jnp.int32) if n_classes > 0 else None
-        D_vars = D.init(d_key, x, y)
+        D_vars = run_init(lambda k: D.init(k, x, y), d_key)
 
     return (G, G_vars), (D, D_vars)

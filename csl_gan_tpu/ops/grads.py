@@ -83,26 +83,39 @@ def _stats_from_norms(leaf_norms: jnp.ndarray, factors: jnp.ndarray) -> ClipStat
     )
 
 
+def _pad_rows(b: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """Zero-pad the leading (batch) axis to n_pad rows."""
+    extra = n_pad - b.shape[0]
+    if extra == 0:
+        return b
+    return jnp.concatenate(
+        [b, jnp.zeros((extra,) + b.shape[1:], b.dtype)], axis=0)
+
+
 def per_sample_grads(loss_fn: Callable, params: Pytree, *batch,
                      chunk: Optional[int] = None) -> Pytree:
     """Materialized per-sample grads: tree with a leading [batch] axis.
 
     loss_fn(params, *example) must return the scalar per-sample loss. Used by
     the tm/sv engines and as the reference implementation the fused paths are
-    tested against.
+    tested against. Batches that don't divide by `chunk` are zero-padded to
+    the next multiple; pad-row grads are discarded.
     """
     gfn = jax.vmap(jax.grad(loss_fn), in_axes=(None,) + (0,) * len(batch))
     if chunk is None:
         return gfn(params, *batch)
     n = batch[0].shape[0]
-    assert n % chunk == 0, "batch must divide by per_sample_chunk"
-    chunked = [jnp.reshape(b, (n // chunk, chunk) + b.shape[1:]) for b in batch]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    chunked = [jnp.reshape(_pad_rows(b, n_pad),
+                           (n_pad // chunk, chunk) + b.shape[1:])
+               for b in batch]
 
     def body(_, bc):
         return None, gfn(params, *bc)
 
     _, stacked = jax.lax.scan(body, None, tuple(chunked))
-    return jax.tree.map(lambda g: jnp.reshape(g, (n,) + g.shape[2:]), stacked)
+    return jax.tree.map(lambda g: jnp.reshape(g, (n_pad,) + g.shape[2:])[:n],
+                        stacked)
 
 
 def _noise_stds(tree: Pytree, sigma: float,
@@ -218,23 +231,33 @@ def clipped_grad_sum(loss_fn: Callable, params: Pytree, *batch,
         return summed, _stats_from_norms(norms, factors)
 
     n = batch[0].shape[0]
-    assert n % chunk == 0, "batch must divide by per_sample_chunk"
-    chunked = tuple(jnp.reshape(b, (n // chunk, chunk) + b.shape[1:]) for b in batch)
+    # Pad to a chunk multiple (e.g. the --poisson static buffer B+8*sqrt(B)
+    # rarely divides); pad rows get factor 0 so they contribute nothing to
+    # the sum, and are dropped from the norm statistics.
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    chunked = tuple(jnp.reshape(_pad_rows(b, n_pad),
+                                (n_pad // chunk, chunk) + b.shape[1:])
+                    for b in batch)
+    rows = jnp.reshape(jnp.arange(n_pad) < n, (n_pad // chunk, chunk))
     zero = jax.tree.map(jnp.zeros_like, params)
 
     if fused_noise is not None:
         raise ValueError("fused_noise is not supported with chunked "
                          "per-sample grads; add noise separately")
 
-    def body(acc, bc):
+    def body(acc, inp):
+        mask, bc = inp
         g_ps, norms, factors = one_chunk(bc)
+        factors = factors * mask[None, :]
         s = _weighted_sum(g_ps, factors)
         return jax.tree.map(jnp.add, acc, s), (norms, factors)
 
-    summed, (norms_all, factors_all) = jax.lax.scan(body, zero, chunked)
-    # [n_chunks, n_leaves, chunk] -> [n_leaves, batch]
-    norms = jnp.reshape(jnp.transpose(norms_all, (1, 0, 2)), (norms_all.shape[1], n))
-    factors = jnp.reshape(jnp.transpose(factors_all, (1, 0, 2)), (factors_all.shape[1], n))
+    summed, (norms_all, factors_all) = jax.lax.scan(body, zero, (rows, chunked))
+    # [n_chunks, n_leaves, chunk] -> [n_leaves, batch] (pad rows dropped)
+    norms = jnp.reshape(jnp.transpose(norms_all, (1, 0, 2)),
+                        (norms_all.shape[1], n_pad))[:, :n]
+    factors = jnp.reshape(jnp.transpose(factors_all, (1, 0, 2)),
+                          (factors_all.shape[1], n_pad))[:, :n]
     return summed, _stats_from_norms(norms, factors)
 
 

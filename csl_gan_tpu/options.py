@@ -267,6 +267,24 @@ def build_parser() -> argparse.ArgumentParser:
                              "(bounds per-sample grad memory); None = whole batch vmap.")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (cpu/tpu); None = JAX default.")
+    parser.add_argument("--multihost", type=str2bool, default=False,
+                        help="Multi-process (DCN) training: call "
+                             "jax.distributed.initialize and build the mesh "
+                             "over all processes' devices. Every process "
+                             "runs the same program on identical host data "
+                             "(same seeds); arrays are fed via "
+                             "make_array_from_process_local_data. Only "
+                             "process 0's output directory is authoritative "
+                             "(other processes write to scratch).")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 for --multihost; None "
+                             "= jax auto-detection (TPU pods).")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="Total process count for --multihost; None = "
+                             "jax auto-detection.")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="This process's index for --multihost; None = "
+                             "jax auto-detection.")
     parser.add_argument("--host_loop", type=str2bool, default=False,
                         help="Force the per-batch host loop instead of the "
                              "device-side interval scan.")
@@ -348,6 +366,12 @@ def derive_and_validate(opt) -> None:
               "clipping.")
     if (opt.g_label_emb_mode != "concat" or opt.d_label_emb_mode != "concat") and opt.model == "Vanilla":
         raise Exception("Vanilla model with embedded labels not implemented")
+    if opt.conditional and opt.d_label_emb_mode == "embed":
+        # The reference raises this at D construction for every conditional
+        # arch (models.py:33-34; the embed branch in DCResNet forward is dead
+        # code — the base Discriminator never builds the embedding). Keep the
+        # same surface but fail at config time.
+        raise Exception("Embed for D not implemented")
     if opt.poisson and opt.dp_mode != "gc":
         raise Exception("--poisson (exact Poisson subsampling) is only "
                         "implemented for the gradient-clipping DP mode "

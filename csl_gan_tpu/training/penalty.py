@@ -55,7 +55,12 @@ def lipschitz_penalty_wrt(d_apply: Callable, d_params, inputs, input_labels,
 
     gp = penalty_from_grads(grads_of_column(None))
 
-    if aux_penalty and n_classes > 1:
+    # Column terms only when the D actually has an aux head (reference
+    # gradient_penalty.py:57 `if aux_penalty and not aux_out is None` — a
+    # CGAN D returns aux_out=None). The probe forward is unused except for
+    # its Python-level None-ness, so XLA dead-code-eliminates it.
+    _, aux_probe = d_apply(d_params, inputs, input_labels)
+    if aux_penalty and n_classes > 1 and aux_probe is not None:
         for col in range(n_classes):
             gp = gp + penalty_from_grads(grads_of_column(col))
 

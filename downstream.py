@@ -87,7 +87,8 @@ def main(argv=None):
     if train_opt.dataset != "MNIST":
         raise Exception("Downstream evaluation only implemented for MNIST.")
 
-    (G, G_vars), (D, D_vars) = init_models(train_opt)
+    # abstract: each checkpoint load below replaces every leaf.
+    (G, G_vars), (D, D_vars) = init_models(train_opt, abstract=True)
     builder = TrainStepBuilder(train_opt, G, D)
     base_state = builder.init_state(G_vars, D_vars)
 

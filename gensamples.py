@@ -37,7 +37,9 @@ def main(argv=None):
     os.makedirs(output_dir, exist_ok=True)
 
     train_opt = options.load_opt(path + "opt.txt")
-    (G, G_vars), (D, D_vars) = init_models(train_opt)
+    # abstract: checkpoint loading replaces every leaf, so real weight init
+    # is pure waste (and slow over the TPU relay).
+    (G, G_vars), (D, D_vars) = init_models(train_opt, abstract=True)
     builder = TrainStepBuilder(train_opt, G, D)
     state = builder.init_state(G_vars, D_vars)
     state, _ = checkpoint.load_g(path + "saves/G-" + str(args.epochs), state)

@@ -119,7 +119,8 @@ def main(argv=None):
     print(f"Loading data for {args.model_name}...")
     train_dataset, train_loader, nontrain_dataset, nontrain_loader = init_data(opt)
 
-    (G, G_vars), (D, D_vars) = init_models(opt)
+    # abstract: each checkpoint load below replaces every leaf.
+    (G, G_vars), (D, D_vars) = init_models(opt, abstract=True)
     builder = TrainStepBuilder(opt, G, D)
     base_state = builder.init_state(G_vars, D_vars)
 

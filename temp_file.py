@@ -26,7 +26,8 @@ def main(argv=None):
     path = options.add_slash(args.path)
     train_opt = options.load_opt(path + "opt.txt")
 
-    (G, G_vars), (D, D_vars) = init_models(train_opt)
+    # abstract: the G/D checkpoints replace every leaf below.
+    (G, G_vars), (D, D_vars) = init_models(train_opt, abstract=True)
     builder = TrainStepBuilder(train_opt, G, D)
     state = builder.init_state(G_vars, D_vars)
     state, _ = checkpoint.load_g(path + "saves/G-" + str(args.epochs), state)

@@ -76,6 +76,25 @@ def test_clipped_sum_chunked_matches():
     np.testing.assert_allclose(np.asarray(sa.frac_clipped), np.asarray(sb.frac_clipped), rtol=1e-6)
 
 
+def test_chunked_non_divisible_batch():
+    """chunk need not divide the batch (the --poisson static buffer
+    B+ceil(8*sqrt(B)) rarely does): pad rows are masked out of the sum and
+    the stats."""
+    params, x, y, loss = make_problem(b=13)
+    a = G.per_sample_grads(loss, params, x, y)
+    b = G.per_sample_grads(loss, params, x, y, chunk=4)
+    jax.tree.map(lambda u, v: np.testing.assert_allclose(
+        np.asarray(u), np.asarray(v), rtol=1e-4, atol=1e-6), a, b)
+    sa, ssa = G.clipped_grad_sum(loss, params, x, y, max_norm=0.7)
+    sb, ssb = G.clipped_grad_sum(loss, params, x, y, max_norm=0.7, chunk=4)
+    jax.tree.map(lambda u, v: np.testing.assert_allclose(
+        np.asarray(u), np.asarray(v), rtol=1e-5), sa, sb)
+    np.testing.assert_allclose(np.asarray(ssa.norm_mean),
+                               np.asarray(ssb.norm_mean), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ssa.frac_clipped),
+                               np.asarray(ssb.frac_clipped), rtol=1e-6)
+
+
 def test_clip_stats():
     params, x, y, loss = make_problem()
     # Huge threshold: nothing clipped.
