@@ -69,18 +69,36 @@ class MeshContext:
     batch: NamedSharding      # shard leading (batch) axis over `data`
     replicated: NamedSharding
     fsdp: bool = False
+    multihost: bool = False   # mesh spans >1 process (DCN, jax.distributed)
 
     @property
     def n_devices(self) -> int:
         return self.mesh.devices.size
 
+    def _put(self, x, sharding):
+        """device_put, or the multihost equivalent.
+
+        Multihost contract (SURVEY.md §5.8: cross-host = DCN via
+        jax.distributed): every process computes/loads IDENTICAL host values
+        (same seeds, same synthetic/real data), and
+        make_array_from_process_local_data with global_shape == local shape
+        slices each process's addressable shards out of its own full copy —
+        no cross-host transfer at feed time.
+        """
+        if x is None:
+            return None
+        if not self.multihost:
+            return jax.device_put(x, sharding)
+        local = np.asarray(jax.device_get(x))
+        return jax.make_array_from_process_local_data(sharding, local,
+                                                      local.shape)
+
     def put_batch(self, *arrays):
-        out = tuple(None if a is None else jax.device_put(a, self.batch)
-                    for a in arrays)
+        out = tuple(self._put(a, self.batch) for a in arrays)
         return out if len(out) > 1 else out[0]
 
     def put_replicated(self, tree):
-        return jax.device_put(tree, self.replicated)
+        return jax.tree.map(lambda l: self._put(l, self.replicated), tree)
 
     # ---- FSDP (ZeRO-3-style state sharding over the data axis) ----
 
@@ -105,7 +123,7 @@ class MeshContext:
         if not self.fsdp:
             return self.put_replicated(tree)
         return jax.tree.map(
-            lambda l, s: jax.device_put(l, s), tree,
+            lambda l, s: self._put(l, s), tree,
             self.state_shardings(tree))
 
     def constrain_state(self, tree):
@@ -130,7 +148,10 @@ def make_mesh(opt=None, devices=None, n: Optional[int] = None,
     if fsdp is None:
         fsdp = bool(getattr(opt, "fsdp", False)) if opt is not None else False
     mesh = Mesh(np.asarray(devices[:n]), ("data",))
+    multihost = jax.process_count() > 1 and \
+        any(d.process_index != jax.process_index() for d in devices[:n])
     return MeshContext(mesh=mesh,
                        batch=NamedSharding(mesh, P("data")),
                        replicated=NamedSharding(mesh, P()),
-                       fsdp=fsdp and n > 1)
+                       fsdp=fsdp and n > 1,
+                       multihost=multihost)

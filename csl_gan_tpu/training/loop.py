@@ -675,8 +675,15 @@ class Trainer:
 
     def _save(self, epoch_label: int, epoch: int):
         acc_state = self.accountant.state_dict() if self.accountant else None
+        state = self.state
+        if self.mesh.fsdp and self.mesh.multihost:
+            # ZeRO-3 leaves are sharded across processes; gather to a
+            # replicated copy first (a collective — every process reaches
+            # _save at the same step, so all participate).
+            state = jax.jit(lambda s: s,
+                            out_shardings=self.mesh.replicated)(state)
         checkpoint.save_pair(self.opt.output_dir, epoch_label, epoch,
-                             self.state, acc_state)
+                             state, acc_state)
 
 
 def run_training(opt) -> Trainer:

@@ -18,6 +18,23 @@ def main(argv=None):
     platform = getattr(opt, "platform", None)
     if platform:
         jax.config.update("jax_platforms", platform)
+    if getattr(opt, "multihost", False):
+        # Must run before any backend use. On TPU pods all three args
+        # auto-detect; for manual/CPU clusters pass them explicitly.
+        kwargs = {k: getattr(opt, k) for k in
+                  ("coordinator_address", "num_processes", "process_id")
+                  if getattr(opt, k, None) is not None}
+        jax.distributed.initialize(**kwargs)
+        if jax.process_index() != 0:
+            # Only process 0's output dir is authoritative; other processes
+            # run the identical program but write to scratch (the simplest
+            # correct gating — every write site stays single-process-clean).
+            import tempfile
+            opt.output_dir = options.add_slash(
+                tempfile.mkdtemp(prefix="csl_gan_scratch_"))
+            for sub in ["samples", "saves", "code"]:
+                import os
+                os.makedirs(opt.output_dir + sub, exist_ok=True)
     run_training(opt)
 
 
