@@ -337,6 +337,8 @@ def bench_torch_cpu() -> float:
 
 def main():
     import contextlib
+    from csl_gan_tpu.utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     with contextlib.redirect_stdout(sys.stderr):
         # library setup prints (synthetic-data notice, derived-flag notes)
         # must not pollute the single-JSON-line stdout contract

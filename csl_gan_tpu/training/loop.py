@@ -303,7 +303,13 @@ class Trainer:
         """Force device execution (for honest section timings; device_get,
         not block_until_ready, which can return early on this backend)."""
         if self._timer:
-            jax.device_get(jax.tree_util.tree_leaves(self.state.d_params)[0])
+            leaf = jax.tree_util.tree_leaves(self.state.d_params)[0]
+            if self.mesh.fsdp:
+                # ZeRO-3 leaves may not be fully addressable (multihost);
+                # fetching this process's own shard forces execution equally.
+                jax.device_get(leaf.addressable_shards[0].data)
+            else:
+                jax.device_get(leaf)
 
     # ---------------- per-batch helpers ----------------
 

@@ -7,8 +7,35 @@ aren't differentiated in the D step).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from scipy import stats
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache for this process.
+
+    Makes reruns of train.py/bench.py/tools skip recompiles wherever the
+    backend supports executable serialization (CPU/standard TPU runtimes;
+    the tunneled remote-compile backend in this environment does not, and
+    simply doesn't cache). Safe no-op otherwise. Disable with
+    CSL_GAN_NO_COMPILE_CACHE=1.
+    """
+    if os.environ.get("CSL_GAN_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "CSL_GAN_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/csl_gan_tpu/jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception as e:  # never block training on cache setup
+        print(f"[csl_gan_tpu] compilation cache disabled: {e}")
 
 
 def add_slash(path):

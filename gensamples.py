@@ -32,6 +32,9 @@ def main(argv=None):
     parser.add_argument("-d", "--device", type=str, default=None)
     args = parser.parse_args(argv)
 
+    from csl_gan_tpu.utils.misc import enable_compilation_cache
+    enable_compilation_cache()
+
     path = options.add_slash(args.path)
     output_dir = path + "G-" + str(args.epochs) + "-samples/"
     os.makedirs(output_dir, exist_ok=True)

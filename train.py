@@ -18,6 +18,8 @@ def main(argv=None):
     platform = getattr(opt, "platform", None)
     if platform:
         jax.config.update("jax_platforms", platform)
+    from csl_gan_tpu.utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     if getattr(opt, "multihost", False):
         # Must run before any backend use. On TPU pods all three args
         # auto-detect; for manual/CPU clusters pass them explicitly.
