@@ -212,6 +212,32 @@ class Trainer:
             return out
 
         self._comb_is = jax.jit(comb_is)
+
+        # Scan-mode segment sums accumulate device-side in ONE jitted
+        # combine per segment: on this relay every dispatch costs 1-20 ms,
+        # and the previous per-stat `logger.stats[name] += ...` adds (~13
+        # dispatches/segment) dominated the measured epoch time (the whole
+        # 100-step MNIST epoch is 1.3 GFLOP / 1.74 GB — compute is ~2 ms).
+        # The name mapping into logger.stats happens once per log flush.
+        self._scan_acc = None
+
+        def comb_scan(acc, new):
+            da, ga, ca = acc
+            dn, gn, cn = new
+            d = {}
+            for k, v in dn.items():
+                if k == "is_sens_min":
+                    d[k] = jnp.minimum(da[k], v)
+                elif k == "is_sens_max":
+                    d[k] = jnp.maximum(da[k], v)
+                else:
+                    d[k] = da[k] + v
+            return d, jax.tree.map(jnp.add, ga, gn), ca + cn
+
+        self._comb_scan = jax.jit(comb_scan)
+        # g_mask cache: segment cut points repeat every epoch; re-uploading
+        # the mask array is one more per-segment dispatch otherwise.
+        self._g_masks = {}
         # Commit the carried rng (and the mean-sample dummy) so the segment
         # runner compiles once, not twice (uncommitted->committed args).
         self._seg_rng = self.mesh.put_replicated(
@@ -435,15 +461,19 @@ class Trainer:
         start = 0
         for cut in cuts:
             seg = cut - start
-            g_mask = jnp.asarray(
-                np.arange(start, cut) % opt.n_d_steps == 0)
+            if (start, cut) not in self._g_masks:
+                self._g_masks[(start, cut)] = self.mesh.put_replicated(
+                    jnp.asarray(np.arange(start, cut) % opt.n_d_steps == 0))
+            g_mask = self._g_masks[(start, cut)]
             with self._section("interval_scan"):
                 (self.state, self._seg_rng, d_sums, g_sums, g_count,
                  self._thresh_acc) = runner(
                     self.state, self._seg_rng, *self._dev_data, perm, start,
                     g_mask, ms, self._thresh_acc)
                 self._force()
-            self._accumulate_sums(d_sums, g_sums, g_count, seg)
+            new = (d_sums, g_sums, g_count)
+            self._scan_acc = new if self._scan_acc is None \
+                else self._comb_scan(self._scan_acc, new)
             if opt.use_dp and self.accountant is not None:
                 with self._section("accounting"):
                     self.accountant.step(seg)
@@ -540,6 +570,10 @@ class Trainer:
     def _fold_acc(self):
         """Fold the per-batch accumulators into logger.stats (host-side)."""
         interval = self.logger.interval
+        if self._scan_acc is not None:
+            d_sums, g_sums, g_count = self._scan_acc
+            self._accumulate_sums(d_sums, g_sums, g_count, 0)
+            self._scan_acc = None
         if self._d_acc is not None:
             acc = {k: v for k, v in self._d_acc.items()
                    if k not in ("is_sens_min", "is_sens_max")}

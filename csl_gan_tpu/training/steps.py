@@ -61,6 +61,8 @@ def make_optimizers(opt):
                            optax.scale(-opt.d_lr))
     else:
         d_tx = optax.adam(opt.d_lr, b1=opt.adam_b1, b2=opt.adam_b2)
+    # (optax.flatten was measured here and does NOT help: the concat/slice
+    # kernels offset the fused per-leaf Adam arithmetic on this backend.)
     return g_tx, d_tx
 
 
@@ -940,9 +942,7 @@ class TrainStepBuilder:
 
         def run(state, rng, images, labels, perm, start, g_mask, mean_samples,
                 d_loss_acc):
-            def body(carry, inp):
-                state, rng, d_acc = carry
-                i, g_cad = inp
+            def step_core(state, rng, d_acc, i, g_cad):
                 rng, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng, 6)
                 valid = None
                 if use_dp and self.poisson:
@@ -1000,23 +1000,51 @@ class TrainStepBuilder:
                 # The accumulator resets at every cadence point, trained or
                 # not (reference train.py:533 zeroes it after the decision).
                 d_acc = jnp.where(g_cad, 0.0, d_acc)
-                return (state, rng, d_acc), (dm, gm, g_on)
+                return state, rng, d_acc, dm, gm, g_on
 
             n = g_mask.shape[0]
-            xs = (jnp.arange(n), g_mask)
-            (state, rng, d_loss_acc), (dms, gms, g_ons) = jax.lax.scan(
-                body, (state, rng, d_loss_acc), xs)
+            # Metric SUMS ride the scan carry instead of being stacked into
+            # [n]-buffers and summed afterwards: per-step dynamic-update-
+            # slices + copies for ~15 stacked metrics were a measurable
+            # fraction of the (launch-overhead-bound) MNIST scan body.
+            # The structure of one step's metrics comes from eval_shape
+            # (trace-time only, no compute).
+            dm_s, gm_s, _ = jax.eval_shape(
+                lambda s, r, a: step_core(s, r, a, jnp.int32(0),
+                                          jnp.bool_(True))[3:],
+                state, rng, d_loss_acc)
+            zeros = lambda t: jax.tree.map(
+                lambda x: jnp.zeros(x.shape, x.dtype), t)
+            track_is = self.dp_mode == "is" and use_dp
+            carry0 = (state, rng, d_loss_acc, zeros(dm_s), zeros(gm_s),
+                      jnp.zeros((), jnp.int32),
+                      jnp.asarray(jnp.inf) if track_is else jnp.zeros(()),
+                      jnp.asarray(-jnp.inf) if track_is else jnp.zeros(()))
+
+            def body(carry, inp):
+                state, rng, d_acc, d_sum, g_sum, g_n, s_min, s_max = carry
+                i, g_cad = inp
+                state, rng, d_acc, dm, gm, g_on = step_core(
+                    state, rng, d_acc, i, g_cad)
+                d_sum = jax.tree.map(jnp.add, d_sum, dm)
+                g_sum = jax.tree.map(jnp.add, g_sum, gm)
+                g_n = g_n + g_on.astype(jnp.int32)
+                if track_is:
+                    # True interval extremes for the IS sensitivity log
+                    # columns (reference train.py:331-338).
+                    s_min = jnp.minimum(s_min, dm["is_sens"])
+                    s_max = jnp.maximum(s_max, dm["is_sens"])
+                return (state, rng, d_acc, d_sum, g_sum, g_n, s_min,
+                        s_max), None
+
+            (state, rng, d_loss_acc, d_sums, g_sums, g_count, s_min,
+             s_max), _ = jax.lax.scan(body, carry0,
+                                      (jnp.arange(n), g_mask))
             state = self._constrain_state(state)
-            d_sums = jax.tree.map(lambda a: jnp.sum(a, axis=0), dms)
-            if self.dp_mode == "is" and use_dp:
-                # True interval extremes for the IS sensitivity log columns
-                # (reference train.py:331-338) — computed from the stacked
-                # per-batch values, not degenerate means.
-                d_sums["is_sens_min"] = jnp.min(dms["is_sens"], axis=0)
-                d_sums["is_sens_max"] = jnp.max(dms["is_sens"], axis=0)
-            g_sums = jax.tree.map(lambda a: jnp.sum(a, axis=0), gms)
-            return (state, rng, d_sums, g_sums,
-                    jnp.sum(g_ons.astype(jnp.int32)), d_loss_acc)
+            if track_is:
+                d_sums["is_sens_min"] = s_min
+                d_sums["is_sens_max"] = s_max
+            return (state, rng, d_sums, g_sums, g_count, d_loss_acc)
 
         return jax.jit(run, donate_argnums=(0,))
 
