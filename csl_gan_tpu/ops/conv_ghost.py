@@ -83,7 +83,18 @@ def _conv_kernel_sq_norms(u, c, dtype=None):
     s, k, o = u.shape[1], u.shape[2], c.shape[2]
     kw_e = dict(precision=_prec(dtype),
                 preferred_element_type=jnp.float32)
-    if s * (k + o) < k * o:
+    # Roofline-aware order choice: per sample, ghost costs ~2*S^2*(K+O)
+    # flops and ~12*S^2 bytes; direct costs ~2*S*K*O flops but WRITES AND
+    # RE-READS the [K, O] per-sample gradient (~8*K*O bytes) — and the
+    # flagship D step is bandwidth-bound (RESULTS.md: ~75% of HBM peak),
+    # so each order is scored as max(flop_time, byte_time) with the TPU's
+    # arithmetic intensity (~240 flop/byte at bf16 peak). Vs the pure-flops
+    # rule this flips exactly the middle layers (e.g. CelebA conv2,
+    # S=256 K=1600 O=128: 105 MB of per-sample-grad traffic avoided).
+    ai = 240.0
+    ghost_cost = max(2.0 * s * s * (k + o), ai * 12.0 * s * s)
+    direct_cost = max(2.0 * s * k * o, ai * 8.0 * k * o)
+    if ghost_cost < direct_cost:
         # ghost order: <U U^T, C C^T> — cheaper when the spatial extent is
         # small relative to the kernel param count (deep layers).
         gu = jnp.einsum("bsk,btk->bst", u, u, **kw_e)
@@ -106,7 +117,12 @@ def _conv_kernel_weighted_sum(u, c, w, kernel_shape, dtype=None):
 
     conv_general_dilated_patches emits features channel-major, i.e. the K
     axis is ordered (cin, kh, kw) — verified against the conv vjp by
-    tests/test_conv_ghost.py."""
+    tests/test_conv_ghost.py.
+
+    (A backprop-filter lax.conv with preferred_element_type=f32 reading the
+    raw activations was measured here and is SLOWER — 17.3 vs 15.7 ms on
+    the flagship step: the (batch<->feature)-swapped dimension numbers cost
+    more in operand relayouts than the einsum's patch layout copies.)"""
     kh, kw, cin, cout = kernel_shape
     cw = c * w[:, None, None]
     if dtype is not None:
