@@ -219,16 +219,40 @@ _gn_relu_pallas.defvjp(_gn_relu_pallas_fwd, _gn_relu_pallas_bwd)
 
 
 def _gn_relu_xla(x, scale, bias, groups: int, eps: float):
-    """Reference/fallback: flax-GroupNorm math on the fp32-cast input +
-    relu, output in x.dtype (autodiff backward)."""
+    """Reference/fallback: flax-GroupNorm math (fp32 stats) + relu, output
+    in x.dtype (autodiff backward).
+
+    Layout-aware formulation: reduce over the SPATIAL axes per channel
+    first (channel-minor, well-tiled, fuses into the producing pass with
+    fp32 accumulation via the reduction dtype), then collapse channels to
+    groups on the tiny [B, C] sums. The naive
+    ``x.astype(f32).reshape(b, -1, g, c//g).mean((1, 3))`` form makes the
+    minor dimension c//g (= 2 for the DCResNet 64-channel layers), which
+    wastes 126/128 lanes of every (8,128) tile and forced XLA to
+    materialize two full fp32 relayout copies of the activation
+    (~270 MB/step on the CelebA flagship); this form keeps every big
+    tensor bf16 and channel-minor."""
     b = x.shape[0]
     c = x.shape[-1]
-    xf = x.astype(jnp.float32).reshape(b, -1, groups, c // groups)
-    mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - mu * mu
-    xhat = (xf - mu) * jax.lax.rsqrt(var + eps)
-    xhat = xhat.reshape(b, -1, c)
-    z = xhat * scale[None, None, :] + bias[None, None, :]
+    n_spatial = 1
+    for d in x.shape[1:-1]:
+        n_spatial *= d
+    x2 = x.reshape(b, n_spatial, c)
+    # fp32-accumulated per-channel sums; the convert fuses into the reduce.
+    s_c = jnp.sum(x2.astype(jnp.float32), axis=1)              # [B, C]
+    ss_c = jnp.sum(jnp.square(x2.astype(jnp.float32)), axis=1)  # [B, C]
+    n = n_spatial * (c // groups)
+    s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)
+    ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
+    mu_g = s_g / n                                              # [B, G]
+    var_g = ss_g / n - jnp.square(mu_g)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast group stats back to channels ([B, C], tiny)
+    mu_c = jnp.repeat(mu_g, c // groups, axis=1)
+    rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
+    a = rstd_c * scale[None, :]                                 # [B, C]
+    d_ = bias[None, :] - mu_c * a
+    z = x2.astype(jnp.float32) * a[:, None, :] + d_[:, None, :]
     return jnp.maximum(z, 0.0).astype(x.dtype).reshape(x.shape)
 
 

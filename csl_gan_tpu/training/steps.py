@@ -1016,10 +1016,15 @@ class TrainStepBuilder:
             zeros = lambda t: jax.tree.map(
                 lambda x: jnp.zeros(x.shape, x.dtype), t)
             track_is = self.dp_mode == "is" and use_dp
+            # is_sens is a scalar (flat sensitivity) or an [L] vector
+            # (per-param mode) — size the extreme trackers to match.
+            sens_shape = dm_s["is_sens"].shape if track_is else ()
             carry0 = (state, rng, d_loss_acc, zeros(dm_s), zeros(gm_s),
                       jnp.zeros((), jnp.int32),
-                      jnp.asarray(jnp.inf) if track_is else jnp.zeros(()),
-                      jnp.asarray(-jnp.inf) if track_is else jnp.zeros(()))
+                      jnp.full(sens_shape, jnp.inf) if track_is
+                      else jnp.zeros(()),
+                      jnp.full(sens_shape, -jnp.inf) if track_is
+                      else jnp.zeros(()))
 
             def body(carry, inp):
                 state, rng, d_acc, d_sum, g_sum, g_n, s_min, s_max = carry

@@ -99,8 +99,8 @@ def test_conv_ghost_mixed_orders_agree(tmp_path):
     ka, kc, kw_ = jax.random.split(k, 3)
     a = jax.random.normal(ka, (4, 9, 9, 6))
     c = jax.random.normal(kc, (4, 5, 5, 8))
-    u = conv_ghost._patches(a, 5, 5, 2, 2).reshape(4, -1, 5 * 5 * 6)
-    c2 = c.reshape(4, -1, 8)
+    u = conv_ghost._patches(a, 5, 5, 2, 2)
+    c2 = c
     sq = conv_ghost._conv_kernel_sq_norms(u, c2)
     # brute force via per-sample vjp
     def one(ai, ci):
@@ -110,6 +110,22 @@ def test_conv_ghost_mixed_orders_agree(tmp_path):
         return jnp.sum(g ** 2)
     want = jax.vmap(one)(a, c)
     np.testing.assert_allclose(np.asarray(sq), np.asarray(want),
+                               rtol=1e-4, atol=1e-6)
+
+    # direct order (large spatial extent, small kernel — the roofline rule
+    # picks the materialized [K, O] path here)
+    a_d = jax.random.normal(ka, (2, 34, 34, 3))
+    c_d = jax.random.normal(kc, (2, 17, 17, 4))
+    u_d = conv_ghost._patches(a_d, 5, 5, 2, 2)
+    sq_d = conv_ghost._conv_kernel_sq_norms(u_d, c_d)
+
+    def one_d(ai, ci):
+        kern = jnp.zeros((5, 5, 3, 4))
+        _, vjp = jax.vjp(lambda kk: conv_ghost._conv(ai[None], kk, 2, 2), kern)
+        (g,) = vjp(ci[None])
+        return jnp.sum(g ** 2)
+    np.testing.assert_allclose(np.asarray(sq_d),
+                               np.asarray(jax.vmap(one_d)(a_d, c_d)),
                                rtol=1e-4, atol=1e-6)
 
     # weighted sum vs vjp with w-scaled cotangents
