@@ -6,9 +6,11 @@ bandwidth hotspot of both CelebA train steps. This module provides the
 relu(GroupNorm(x)) op used by models/dcresnet.py `_GroupNormRelu` with two
 implementations:
 
-- `_gn_relu_xla` (DEFAULT): the plain jnp formulation (stats in fp32,
-  output in x.dtype, autodiff backward). XLA fuses the stats into the
-  producing pass and the normalize+relu into the consumers.
+- `_gn_relu_xla` (DEFAULT): layout-aware jnp formulation (fp32-accumulated
+  per-channel spatial sums, tiny [B, C] group collapse, one elementwise
+  normalize+relu; autodiff backward). XLA fuses the stats into the
+  producing pass and the normalize+relu into the consumers, with no
+  materialized fp32 copy of the activation (see the function docstring).
 - A hand-written Pallas kernel pair (forward + custom-vjp backward) doing
   the whole op in one HBM read + one write per tensor: per-(sample, group)
   mean/var in fp32 in VMEM, normalize+affine+ReLU from the resident block;
@@ -234,13 +236,16 @@ def _gn_relu_xla(x, scale, bias, groups: int, eps: float):
     tensor bf16 and channel-minor."""
     b = x.shape[0]
     c = x.shape[-1]
+    sp_axes = tuple(range(1, x.ndim - 1))   # spatial axes, in place
     n_spatial = 1
     for d in x.shape[1:-1]:
         n_spatial *= d
-    x2 = x.reshape(b, n_spatial, c)
     # fp32-accumulated per-channel sums; the convert fuses into the reduce.
-    s_c = jnp.sum(x2.astype(jnp.float32), axis=1)              # [B, C]
-    ss_c = jnp.sum(jnp.square(x2.astype(jnp.float32)), axis=1)  # [B, C]
+    # No reshape anywhere on the big tensor — flattening (H, W) (or the
+    # grouped [.., G, C/G] split) breaks the (8,128) tiling of the minor
+    # dims and XLA materializes full relayout copies.
+    s_c = jnp.sum(x.astype(jnp.float32), axis=sp_axes)               # [B, C]
+    ss_c = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=sp_axes)  # [B, C]
     n = n_spatial * (c // groups)
     s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)
     ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
@@ -250,10 +255,11 @@ def _gn_relu_xla(x, scale, bias, groups: int, eps: float):
     # broadcast group stats back to channels ([B, C], tiny)
     mu_c = jnp.repeat(mu_g, c // groups, axis=1)
     rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
-    a = rstd_c * scale[None, :]                                 # [B, C]
-    d_ = bias[None, :] - mu_c * a
-    z = x2.astype(jnp.float32) * a[:, None, :] + d_[:, None, :]
-    return jnp.maximum(z, 0.0).astype(x.dtype).reshape(x.shape)
+    bcast = (b,) + (1,) * len(sp_axes) + (c,)
+    a = (rstd_c * scale[None, :]).reshape(bcast)
+    d_ = (bias[None, :] - mu_c * rstd_c * scale[None, :]).reshape(bcast)
+    z = x.astype(jnp.float32) * a + d_
+    return jnp.maximum(z, 0.0).astype(x.dtype)
 
 
 def group_norm_relu(x, scale, bias, groups: int = 32, eps: float = 1e-5):
