@@ -69,6 +69,7 @@ class _PhaseConv(nn.Module):
     kernel_size: int
     use_bias: bool = True
     dtype: object = None
+    defer_d2s: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -119,13 +120,27 @@ class _PhaseConv(nn.Module):
             padding=[(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         n, h, w, _ = o.shape
-        # depth-to-space: (a, b, feature) minor order set by the k4 reshape.
+        # (a, b, feature) minor order set by the k4 reshape; the bias is
+        # per-feature, so adding it in phase layout is exact.
         o = o.reshape(n, h, w, 2, 2, self.features)
-        o = o.transpose(0, 1, 3, 2, 4, 5).reshape(
-            n, 2 * h, 2 * w, self.features)
         if bias is not None:
             o = o + bias.astype(cdtype)
-        return o
+        if self.defer_d2s:
+            # Phase layout [N, H, W, 2, 2, F]: the caller applies its
+            # (spatial-permutation-invariant) norm + relu here and runs
+            # phase_d2s afterwards, so the depth-to-space transpose lands
+            # next to its single consumer instead of being materialized
+            # fp32 for the norm's three uses (measured 2x134 MB relayout
+            # copies per ResBlockUp_3 on the CelebA flagship G step).
+            return o
+        return phase_d2s(o)
+
+
+def phase_d2s(o):
+    """Depth-to-space for a [N, H, W, 2, 2, F] phase-layout tensor."""
+    n, h, w = o.shape[:3]
+    f = o.shape[-1]
+    return o.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, f)
 
 
 class _FusedUpConv(nn.Module):
@@ -134,12 +149,13 @@ class _FusedUpConv(nn.Module):
     kernel_size: int
     use_bias: bool = True
     dtype: object = None
+    defer_d2s: bool = False
 
     @nn.compact
     def __call__(self, x):
         return _PhaseConv(self.features, self.kernel_size,
                           use_bias=self.use_bias, dtype=self.dtype,
-                          name="Conv_0")(x)
+                          defer_d2s=self.defer_d2s, name="Conv_0")(x)
 
 
 class UpsampleConv(nn.Module):
@@ -154,15 +170,21 @@ class UpsampleConv(nn.Module):
     kernel_size: int
     use_bias: bool = True
     dtype: object = None
+    defer_d2s: bool = False   # k>1 only: return [N,H,W,2,2,F] phase layout
 
     @nn.compact
     def __call__(self, x):
         if self.kernel_size == 1:
+            if self.defer_d2s:
+                raise ValueError(
+                    "defer_d2s requires kernel_size > 1 (the 1x1 shortcut "
+                    "path has no phase layout)")
             return upsample_nearest_2x(
                 TorchConv(self.features, 1, padding="SAME",
                           use_bias=self.use_bias, dtype=self.dtype)(x))
         return _FusedUpConv(self.features, self.kernel_size,
                             use_bias=self.use_bias, dtype=self.dtype,
+                            defer_d2s=self.defer_d2s,
                             name="TorchConv_0")(x)
 
 
@@ -185,14 +207,21 @@ class ResBlockUp(nn.Module):
             o = nn.relu(o)
         else:
             o = _GroupNormRelu(name="GroupNorm_0")(x)
+        # The second norm + relu runs in the phase layout the fused
+        # upsample-conv produces: both are spatial-permutation-invariant
+        # (per-channel/per-group stats over all non-feature axes, then
+        # elementwise), so the values are identical and the depth-to-space
+        # transpose moves next to its single consumer (the conv below)
+        # instead of being materialized fp32 for the norm's reads.
         o = UpsampleConv(self.features, self.kernel_size, use_bias=False,
-                         dtype=self.dtype)(o)
+                         dtype=self.dtype, defer_d2s=True)(o)
         if self.bn:
             o = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                              use_running_average=not train)(o.astype(jnp.float32))
             o = nn.relu(o)
         else:
             o = _GroupNormRelu(name="GroupNorm_1")(o)
+        o = phase_d2s(o)
         o = TorchConv(self.features, self.kernel_size, padding="SAME",
                       dtype=self.dtype)(o)
 

@@ -222,3 +222,31 @@ def test_fused_upsample_conv_equals_naive():
                         jax.tree_util.tree_leaves(gn)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_phase_deferred_norm_relu_equals_post_d2s():
+    """Norm + relu are spatial-permutation-invariant, so applying them in
+    the phase layout [N,H,W,2,2,F] before depth-to-space (ResBlockUp's
+    fast path) must equal applying them to the depth-to-space'd tensor."""
+    import jax
+    import jax.numpy as jnp
+
+    from csl_gan_tpu.models.dcresnet import UpsampleConv, phase_d2s
+    from csl_gan_tpu.ops.pallas_groupnorm import group_norm_relu
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 7, 7, 8))
+    m_def = UpsampleConv(64, 5, use_bias=False, defer_d2s=True)
+    m_ref = UpsampleConv(64, 5, use_bias=False)
+    v = m_def.init(jax.random.PRNGKey(4), x)
+    o_phase = m_def.apply(v, x)
+    assert o_phase.shape == (2, 7, 7, 2, 2, 64)
+    o_full = m_ref.apply(v, x)
+    np.testing.assert_allclose(np.asarray(phase_d2s(o_phase)),
+                               np.asarray(o_full), rtol=1e-6, atol=1e-6)
+
+    scale = jnp.linspace(0.5, 1.5, 64)
+    bias = jnp.linspace(-0.3, 0.3, 64)
+    got = phase_d2s(group_norm_relu(o_phase, scale, bias, groups=32))
+    want = group_norm_relu(o_full, scale, bias, groups=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
