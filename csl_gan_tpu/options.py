@@ -262,6 +262,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "parallel/mesh.py). Per-device param+optimizer "
                              "memory drops ~n_devices x; GSPMD inserts the "
                              "gathers. No effect on a 1-device mesh.")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel (model) mesh axis size; must "
+                             "divide the mesh size. Conv/dense kernels and "
+                             "biases shard their output-channel dim over "
+                             "the `model` axis (column-parallel); GSPMD "
+                             "propagates activation shardings and inserts "
+                             "the collectives (parallel/mesh.py state_spec)."
+                             " Composes with --fsdp on the data axis.")
     parser.add_argument("--per_sample_chunk", type=int, default=None,
                         help="Chunk size for lax.scan-accumulated per-sample gradients "
                              "(bounds per-sample grad memory); None = whole batch vmap.")

@@ -149,12 +149,12 @@ class Trainer:
         self.mesh = make_mesh(opt)
         self._torch_idx = np.asarray(
             param_order.torch_order_indices(D_vars["params"]))
-        # Commit the state to the mesh up-front (replicated, or ZeRO-3
-        # sharded under --fsdp) so the first step compiles once (uncommitted
+        # Commit the state to the mesh up-front (replicated, or sharded
+        # under --fsdp/--tp) so the first step compiles once (uncommitted
         # args would otherwise trigger a second compile when outputs come
-        # back committed). Under --fsdp the builder's steps also pin their
-        # output state to the same leaf shardings.
-        if self.mesh.fsdp:
+        # back committed). Under --fsdp/--tp the builder's steps also pin
+        # their output state to the same leaf shardings.
+        if self.mesh.state_sharded:
             self.builder._constrain_state = self.mesh.constrain_state
         self.state = self.mesh.put_state(self.state)
         self._setup_device_data()
@@ -330,7 +330,7 @@ class Trainer:
         not block_until_ready, which can return early on this backend)."""
         if self._timer:
             leaf = jax.tree_util.tree_leaves(self.state.d_params)[0]
-            if self.mesh.fsdp:
+            if self.mesh.state_sharded:
                 # ZeRO-3 leaves may not be fully addressable (multihost);
                 # fetching this process's own shard forces execution equally.
                 jax.device_get(leaf.addressable_shards[0].data)
@@ -716,7 +716,7 @@ class Trainer:
     def _save(self, epoch_label: int, epoch: int):
         acc_state = self.accountant.state_dict() if self.accountant else None
         state = self.state
-        if self.mesh.fsdp and self.mesh.multihost:
+        if self.mesh.state_sharded and self.mesh.multihost:
             # ZeRO-3 leaves are sharded across processes; gather to a
             # replicated copy first (a collective — every process reaches
             # _save at the same step, so all participate).

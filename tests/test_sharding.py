@@ -214,3 +214,136 @@ def test_fsdp_conv_ghost_step_matches(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ref),
                     jax.tree_util.tree_leaves(got)):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+
+# ---------------- --tp: tensor-parallel (model-axis) sharding ----------------
+
+def _tp_setup(tmp_path, *argv, bs=32, tp=2, fsdp=False):
+    opt, builder, state = setup(tmp_path, *argv, bs=bs)
+    ctx = make_mesh(n=8, tp=tp, fsdp=fsdp)
+    builder._constrain_state = ctx.constrain_state
+    return ctx, builder, ctx.put_state(state)
+
+
+def test_state_spec_tp_and_fsdp_compose():
+    from csl_gan_tpu.parallel.mesh import state_spec
+    from jax.sharding import PartitionSpec as P
+    # tp shards the output-channel (last) dim; fsdp takes a different dim.
+    assert state_spec((5, 5, 64, 128), 4, 2, False) == \
+        P(None, None, None, "model")
+    assert state_spec((5, 5, 64, 128), 4, 2, True) == \
+        P(None, None, "data", "model")
+    # Last dim not tp-divisible: no model sharding, fsdp still applies.
+    assert state_spec((794, 129), 4, 2, True) == P()
+    assert state_spec((792, 129), 4, 2, True) == P("data", None)
+    # Under the size floor: replicated regardless.
+    assert state_spec((128,), 4, 2, True) == P()
+
+
+def test_tp_must_divide_mesh():
+    import pytest
+    with pytest.raises(ValueError):
+        make_mesh(n=8, tp=3)
+
+
+def test_tp_state_actually_sharded(tmp_path):
+    ctx, builder, state = _tp_setup(tmp_path, "-dpm", "gc", "--conditional")
+    assert ctx.mesh.axis_names == ("data", "model") and ctx.dp == 4
+    sharded = [l for l in jax.tree_util.tree_leaves(state.d_params)
+               if l.addressable_shards[0].data.size < l.size]
+    assert sharded, "no D param leaf is actually sharded under --tp"
+    mu_sharded = [l for l in jax.tree_util.tree_leaves(state.d_opt_state)
+                  if hasattr(l, "sharding")
+                  and l.addressable_shards[0].data.size < l.size]
+    assert mu_sharded
+
+
+def test_tp_gc_step_matches_replicated(tmp_path):
+    args = ("-dpm", "gc", "--conditional", "--sigma", "0")
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.uniform(kx, (32, 28, 28, 1))
+    y = jax.random.randint(ky, (32,), 0, 10)
+    rng = jax.random.PRNGKey(1)
+
+    _, b1, s1 = setup(tmp_path, *args)
+    out1, _ = b1.d_step_dp(s1, x, y, x, y, x, y, rng)
+    out1, _ = b1.g_step(out1, rng)
+    ref = jax.device_get((out1.d_params, out1.g_params))
+
+    ctx, b2, s2 = _tp_setup(tmp_path, *args)
+    xs, ys = ctx.put_batch(x, y)
+    out2, _ = b2.d_step_dp(s2, xs, ys, xs, ys, xs, ys, rng)
+    out2, _ = b2.g_step(out2, rng)
+    still = [l for l in jax.tree_util.tree_leaves(out2.d_params)
+             if l.addressable_shards[0].data.size < l.size]
+    assert still, "step output lost its tp sharding"
+    got = jax.device_get((out2.d_params, out2.g_params))
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
+def test_tp_conv_ghost_step_matches(tmp_path):
+    """dp4 x tp2 with the DCResNet D: conv kernels channel-shard over the
+    model axis while the batch shards over data; the conv-ghost DP step
+    must still match the single-device result."""
+    args = ("-dpm", "gc", "--conditional", "--sigma", "0",
+            "--model", "DeepConvResNet")
+    kx, ky = jax.random.split(jax.random.PRNGKey(9))
+    x = jax.random.uniform(kx, (16, 28, 28, 1))
+    y = jax.random.randint(ky, (16,), 0, 10)
+    rng = jax.random.PRNGKey(10)
+
+    _, b1, s1 = setup(tmp_path, *args, bs=16)
+    assert b1.use_conv_ghost
+    out1, _ = b1.d_step_dp(s1, x, y, x, y, x, y, rng)
+    ref = jax.device_get(out1.d_params)
+
+    ctx, b2, s2 = _tp_setup(tmp_path, *args, bs=16)
+    xs, ys = ctx.put_batch(x, y)
+    out2, _ = b2.d_step_dp(s2, xs, ys, xs, ys, xs, ys, rng)
+    # The MNIST DCResNet D has exactly 2 tp-shardable leaves: the conv2
+    # kernel [5,5,64,128] and linOutAux [6272,10] (linOut's last dim is 1).
+    n_shard = sum(1 for l in jax.tree_util.tree_leaves(out2.d_params)
+                  if l.addressable_shards[0].data.size < l.size)
+    assert n_shard >= 2, f"expected conv kernels tp-sharded, got {n_shard}"
+    got = jax.device_get(out2.d_params)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+
+def test_tp_fsdp_composed_step_matches(tmp_path):
+    """--tp 2 + --fsdp on one 2-D mesh: kernels shard [.., data, model]."""
+    args = ("-dpm", "gc", "--conditional", "--sigma", "0")
+    kx, ky = jax.random.split(jax.random.PRNGKey(12))
+    x = jax.random.uniform(kx, (32, 28, 28, 1))
+    y = jax.random.randint(ky, (32,), 0, 10)
+    rng = jax.random.PRNGKey(13)
+
+    _, b1, s1 = setup(tmp_path, *args)
+    out1, _ = b1.d_step_dp(s1, x, y, x, y, x, y, rng)
+    ref = jax.device_get(out1.d_params)
+
+    ctx, b2, s2 = _tp_setup(tmp_path, *args, fsdp=True)
+    assert ctx.fsdp and ctx.tp == 2
+    # The vanilla D's only big leaf (794, 128) is 4-indivisible on dim 0,
+    # so the data+model two-axis split shows up in the G's square layers.
+    two_axis = [l for l in jax.tree_util.tree_leaves(
+                    (s2.d_params, s2.g_params))
+                if l.size // l.addressable_shards[0].data.size >= 8]
+    assert two_axis, "no leaf sharded over both data and model axes"
+    xs, ys = ctx.put_batch(x, y)
+    out2, _ = b2.d_step_dp(s2, xs, ys, xs, ys, xs, ys, rng)
+    got = jax.device_get(out2.d_params)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6)
+
+
+def test_tp_flag_roundtrip(tmp_path):
+    opt = options.parse(["MNIST", "--tp", "2", "-o", str(tmp_path / "o")])
+    ctx = make_mesh(opt, n=8)
+    assert ctx.tp == 2 and ctx.dp == 4
+    opt2 = options.parse(["MNIST", "-o", str(tmp_path / "p")])
+    assert make_mesh(opt2, n=8).tp == 1
