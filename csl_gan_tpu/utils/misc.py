@@ -13,6 +13,28 @@ import numpy as np
 from scipy import stats
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU feature set.
+
+    The XLA:CPU cache stores AOT-compiled machine code; loading an entry
+    compiled on a host with wider vector features (the environment can move
+    between machines across sessions) risks SIGILL. Keying the cache dir by
+    the CPU flags makes entries from a different machine invisible instead.
+    """
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                feats = "unknown"
+    except OSError:
+        feats = "unknown"
+    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Enable JAX's persistent compilation cache for this process.
 
@@ -29,7 +51,8 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     if cache_dir is None:
         cache_dir = os.environ.get(
             "CSL_GAN_COMPILE_CACHE",
-            os.path.expanduser("~/.cache/csl_gan_tpu/jax_cache"))
+            os.path.join(os.path.expanduser("~/.cache/csl_gan_tpu"),
+                         f"jax_cache-{_host_fingerprint()}"))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
