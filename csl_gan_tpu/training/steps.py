@@ -115,6 +115,12 @@ class TrainStepBuilder:
                 opt.batch_size + int(math.ceil(8.0 * math.sqrt(opt.batch_size))),
                 opt.train_set_size)
         self.use_pallas = bool(opt_get(opt, "pallas", False)) and self.chunk is None
+        # Set by the Trainer when the device-resident image table is stored
+        # flat [N, F] (training/loop.py _setup_device_data): an [N,H,W,1]
+        # float32 table gathers rows at 1/128th lane utilization (~420 us for
+        # a bs=600 MNIST batch vs 38 us flat — measured on v5e), so f32
+        # tables are kept flat and rows are unflattened after the gather.
+        self.img_shape = None
         self.is_per_param = bool(opt.imm_sens_per_param)
         self.is_scaling_mode = opt.imm_sens_scaling_mode or "standard"
         self.moving_avg_beta = opt_get(opt, "moving_avg_beta", 0.9)
@@ -504,7 +510,15 @@ class TrainStepBuilder:
         idx = order[:self.poisson_cap]
         count = jnp.sum(incl.astype(jnp.int32))
         valid = (jnp.arange(self.poisson_cap) < count).astype(jnp.float32)
-        return images[idx], labels[idx], valid
+        return self.unflatten_rows(images[idx]), labels[idx], valid
+
+    def unflatten_rows(self, x):
+        """Restore [B, *img_shape] after a row gather from a flat-stored
+        [N, F] device image table (see img_shape in __init__); identity for
+        tables kept in their natural layout."""
+        if x.ndim == 2 and self.img_shape is not None:
+            return x.reshape((x.shape[0],) + tuple(self.img_shape))
+        return x
 
     @staticmethod
     def _mask_loss(f, args, valid):
@@ -952,7 +966,7 @@ class TrainStepBuilder:
                 else:
                     idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,),
                                                 (bs,))
-                    x = images[idx]
+                    x = self.unflatten_rows(images[idx])
                     y = labels[idx] if self.conditional else None
                 if batch_sharding is not None:
                     # Shard the gathered batch over the mesh's data axis so

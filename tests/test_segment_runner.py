@@ -198,3 +198,37 @@ def test_scan_with_mesh_sharding_matches(tmp_path):
                     jax.tree_util.tree_leaves(s2.d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-6)
+
+
+def test_flat_image_table_matches_nhwc(tmp_path):
+    """Flat [N, F] device image storage (training/loop.py
+    _setup_device_data) must be bit-identical to natural-layout storage
+    through the segment runner and poisson_draw (unflatten_rows)."""
+    opt, builder, state = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0")
+    images, labels = make_data()
+    perm = jnp.arange(100)
+    g_mask = jnp.asarray([True, False, True, False, True])
+    rng = jax.random.PRNGKey(7)
+
+    r1 = builder.build_segment_runner(use_dp=True)
+    s1, *_ = r1(state, rng, images, labels, perm, 0, g_mask,
+                jnp.zeros(()), jnp.zeros(()))
+
+    _, builder2, state2 = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0")
+    builder2.img_shape = images.shape[1:]
+    flat = images.reshape(len(images), -1)
+    r2 = builder2.build_segment_runner(use_dp=True)
+    s2, *_ = r2(state2, rng, flat, labels, perm, 0, g_mask,
+                jnp.zeros(()), jnp.zeros(()))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(s2.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # poisson_draw returns unflattened rows from a flat table.
+    builder2.poisson = True
+    builder2.poisson_q = 0.2
+    builder2.poisson_cap = 30
+    x, y, valid = builder2.poisson_draw(flat, labels, jax.random.PRNGKey(3))
+    assert x.shape == (30, 28, 28, 1)
