@@ -66,7 +66,11 @@ def bench_jax() -> float:
     # Tunneled-TPU variance: best of several trials (observed spread on
     # identical code: 60-139 ms/epoch across runs; trials cost ~0.5 s each
     # so more of them is cheap insurance against a bad relay period).
-    n_epochs, n_trials = 5, 8
+    # 25 epochs per force: the relay's device->host readback RTT is ~35 ms
+    # regardless of payload — per-epoch forcing would measure the tunnel,
+    # not the training (real runs never read params back per epoch; the
+    # per-epoch privacy row is host-side accountant math only).
+    n_epochs, n_trials = 25, 6
     best = float("inf")
     e = 1
     for _ in range(n_trials):

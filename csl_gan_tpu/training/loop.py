@@ -220,21 +220,11 @@ class Trainer:
         # 100-step MNIST epoch is 1.3 GFLOP / 1.74 GB — compute is ~2 ms).
         # The name mapping into logger.stats happens once per log flush.
         self._scan_acc = None
-
-        def comb_scan(acc, new):
-            da, ga, ca = acc
-            dn, gn, cn = new
-            d = {}
-            for k, v in dn.items():
-                if k == "is_sens_min":
-                    d[k] = jnp.minimum(da[k], v)
-                elif k == "is_sens_max":
-                    d[k] = jnp.maximum(da[k], v)
-                else:
-                    d[k] = da[k] + v
-            return d, jax.tree.map(jnp.add, ga, gn), ca + cn
-
-        self._comb_scan = jax.jit(comb_scan)
+        # Zero accumulator template (built lazily from the runner's output
+        # structure via eval_shape): passed as acc_in on the first segment of
+        # every flush interval so cross-segment accumulation happens inside
+        # the runner dispatch itself, with a single jit specialization.
+        self._zero_acc = None
         # g_mask cache: segment cut points repeat every epoch; re-uploading
         # the mask array is one more per-segment dispatch otherwise.
         self._g_masks = {}
@@ -243,6 +233,10 @@ class Trainer:
         self._seg_rng = self.mesh.put_replicated(
             jax.random.fold_in(self.root_key, 0x5E9))
         self._ms_dummy = self.mesh.put_replicated(jnp.zeros(()))
+        # Per-epoch permutations are derived ON-DEVICE inside the segment
+        # runner from (this key, epoch) — no per-epoch perm dispatch.
+        self._perm_key = self.mesh.put_replicated(
+            jax.random.fold_in(self.root_key, 0xE90C))
         # Profiling (-p): host-side section timers printed as a summary
         # table at the end (reference prints a key-averages table,
         # train.py:145-148), alongside the xplane trace.
@@ -421,8 +415,33 @@ class Trainer:
             self._seg_runners[use_dp] = self.builder.build_segment_runner(
                 use_dp, mean_fn, preprocess=self._dev_preprocess,
                 batch_sharding=(self.mesh.batch if self.mesh.n_devices > 1
-                                else None))
+                                else None),
+                # n_d_steps==1 makes every g_mask this Trainer builds
+                # all-True; with threshold gating off too, the runner can
+                # drop the per-step G lax.cond (TPU pipeline flush).
+                assume_full_cadence=(
+                    self.opt.n_d_steps <= 1
+                    and float(self.opt.train_d_until_threshold) >= 1e10))
         return self._seg_runners[use_dp]
+
+    def _zero_scan_acc(self, runner, args):
+        """Zero acc_in template from the runner's output structure
+        (eval_shape: trace only, no compile/execute)."""
+        out_s = jax.eval_shape(runner, *args)
+        d_s, g_s, c_s = out_s[2], out_s[3], out_s[4]
+
+        def init(k, s):
+            if k == "is_sens_min":
+                return jnp.full(s.shape, jnp.inf, s.dtype)
+            if k == "is_sens_max":
+                return jnp.full(s.shape, -jnp.inf, s.dtype)
+            return jnp.zeros(s.shape, s.dtype)
+
+        return ({k: self.mesh.put_replicated(init(k, s))
+                 for k, s in d_s.items()},
+                jax.tree.map(lambda s: self.mesh.put_replicated(
+                    jnp.zeros(s.shape, s.dtype)), g_s),
+                self.mesh.put_replicated(jnp.zeros(c_s.shape, c_s.dtype)))
 
     def _accumulate_sums(self, d_sums, g_sums, g_count, seg_len):
         """Fold a segment's summed metrics into the logger stats."""
@@ -466,7 +485,6 @@ class Trainer:
         cuts = sorted({k for k in range(1, n + 1)
                        if k == n or (k * bs) % opt.log_every == 0
                        or (k * bs) % opt.sample_every == 0})
-        perm = self._perm(jax.random.fold_in(self.root_key, 0xE90C + epoch))
         runner = self._get_runner(opt.use_dp)
         ms = self._dev_mean if self._dev_mean is not None else self._ms_dummy
         start = 0
@@ -477,14 +495,20 @@ class Trainer:
                     jnp.asarray(np.arange(start, cut) % opt.n_d_steps == 0))
             g_mask = self._g_masks[(start, cut)]
             with self._section("interval_scan"):
+                # ONE dispatch per segment: the runner derives the epoch's
+                # permutation from (key, epoch) on-device and folds the
+                # previous segments' metric sums in via acc_in.
+                args = (self.state, self._seg_rng, *self._dev_data,
+                        self._perm_key, start, g_mask, ms, self._thresh_acc)
+                if self._zero_acc is None:
+                    self._zero_acc = self._zero_scan_acc(
+                        runner, args + (None, epoch))
+                acc_in = self._scan_acc if self._scan_acc is not None \
+                    else self._zero_acc
                 (self.state, self._seg_rng, d_sums, g_sums, g_count,
-                 self._thresh_acc) = runner(
-                    self.state, self._seg_rng, *self._dev_data, perm, start,
-                    g_mask, ms, self._thresh_acc)
+                 self._thresh_acc) = runner(*args, acc_in, epoch)
                 self._force()
-            new = (d_sums, g_sums, g_count)
-            self._scan_acc = new if self._scan_acc is None \
-                else self._comb_scan(self._scan_acc, new)
+            self._scan_acc = (d_sums, g_sums, g_count)
             if opt.use_dp and self.accountant is not None:
                 with self._section("accounting"):
                     self.accountant.step(seg)

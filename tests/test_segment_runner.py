@@ -232,3 +232,89 @@ def test_flat_image_table_matches_nhwc(tmp_path):
     builder2.poisson_cap = 30
     x, y, valid = builder2.poisson_draw(flat, labels, jax.random.PRNGKey(3))
     assert x.shape == (30, 28, 28, 1)
+
+
+def test_acc_in_chains_segment_sums(tmp_path):
+    """Two chained segments passing acc_in must produce the same metric sums
+    and params as one segment over all the steps."""
+    opt, builder, state = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0")
+    images, labels = make_data()
+    perm = jnp.arange(100)
+    rng = jax.random.PRNGKey(7)
+
+    runner = builder.build_segment_runner(use_dp=True)
+    mask = jnp.asarray([True, False, True, False, True])
+    s_all, rng_a, d_all, g_all, c_all, _ = runner(
+        state, rng, images, labels, perm, 0, mask, jnp.zeros(()),
+        jnp.zeros(()))
+
+    _, builder2, state2 = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0")
+    r2 = builder2.build_segment_runner(use_dp=True)
+    st, rng_b, d1, g1, c1, th = r2(state2, rng, images, labels, perm, 0,
+                                   mask[:3], jnp.zeros(()), jnp.zeros(()))
+    st, rng_b, d2, g2, c2, th = r2(st, rng_b, images, labels, perm, 3,
+                                   mask[3:], jnp.zeros(()), th, (d1, g1, c1))
+    assert int(c2) == int(c_all)
+    for k in d_all:
+        np.testing.assert_allclose(np.asarray(d_all[k]), np.asarray(d2[k]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_all.d_params),
+                    jax.tree_util.tree_leaves(st.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_key_perm_matches_explicit_perm(tmp_path):
+    """Passing a uint32[2] PRNG key as `perm` must equal passing the
+    explicitly computed permutation(fold_in(key, epoch), N)."""
+    opt, builder, state = setup(tmp_path, "--conditional")
+    images, labels = make_data()
+    g_mask = jnp.asarray([True, True, True, True, True])
+    rng = jax.random.PRNGKey(7)
+    key = jax.random.PRNGKey(42)
+    epoch = 3
+
+    runner = builder.build_segment_runner(use_dp=False)
+    s1, *_ = runner(state, rng, images, labels, key, 0, g_mask,
+                    jnp.zeros(()), jnp.zeros(()), None, epoch)
+
+    _, builder2, state2 = setup(tmp_path, "--conditional")
+    perm = jax.random.permutation(jax.random.fold_in(key, epoch), 100)
+    r2 = builder2.build_segment_runner(use_dp=False)
+    s2, *_ = r2(state2, rng, images, labels, perm, 0, g_mask,
+                jnp.zeros(()), jnp.zeros(()))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(s2.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_cadence_matches_cond(tmp_path):
+    """assume_full_cadence=True (no lax.cond) must match the cond-based
+    runner when the mask is all-True."""
+    opt, builder, state = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0")
+    images, labels = make_data()
+    perm = jnp.arange(100)
+    g_mask = jnp.ones(5, bool)
+    rng = jax.random.PRNGKey(7)
+
+    r1 = builder.build_segment_runner(use_dp=True)
+    s1, _, d1, g1, c1, _ = r1(state, rng, images, labels, perm, 0, g_mask,
+                              jnp.zeros(()), jnp.zeros(()))
+
+    _, builder2, state2 = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0")
+    r2 = builder2.build_segment_runner(use_dp=True,
+                                       assume_full_cadence=True)
+    s2, _, d2, g2, c2, _ = r2(state2, rng, images, labels, perm, 0, g_mask,
+                              jnp.zeros(()), jnp.zeros(()))
+    assert int(c1) == int(c2) == 5
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

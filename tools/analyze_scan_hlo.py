@@ -41,8 +41,11 @@ def main():
     n = len(trainer.dataloader)
     g_mask = jnp.asarray(np.arange(n) % opt.n_d_steps == 0)
     args = (trainer.state, trainer._seg_rng, *trainer._dev_data,
-            trainer._perm(jax.random.PRNGKey(0)), 0, g_mask,
+            trainer._perm_key, 0, g_mask,
             trainer._ms_dummy, trainer._thresh_acc)
+    # Match the production specialization: acc_in tuple + epoch arg.
+    zero_acc = trainer._zero_scan_acc(runner, args + (None, 0))
+    args = args + (zero_acc, 0)
     lowered = jax.jit(runner.__wrapped__ if hasattr(runner, "__wrapped__")
                       else runner).lower(*args)
     compiled = lowered.compile()
