@@ -275,6 +275,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "(bounds per-sample grad memory); None = whole batch vmap.")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (cpu/tpu); None = JAX default.")
+    parser.add_argument("--rbg", type=str2bool, default=True,
+                        help="Use the XLA RngBitGenerator PRNG (rbg) for all "
+                             "randomness: 1.32x the MNIST DP epoch vs JAX's "
+                             "threefry default (per-step key splits are "
+                             "launch-bound work). Same PRNG quality class as "
+                             "the reference's torch Philox noise. false = "
+                             "threefry.")
     parser.add_argument("--multihost", type=str2bool, default=False,
                         help="Multi-process (DCN) training: call "
                              "jax.distributed.initialize and build the mesh "

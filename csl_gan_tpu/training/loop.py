@@ -482,9 +482,17 @@ class Trainer:
         opt = self.opt
         n = len(self.dataloader)
         bs = opt.batch_size
+        # Sample-count cadences apply only when NOT converted to epoch units
+        # (options.py derive: log_every >= train_set_size becomes
+        # log_every_epochs, handled once per epoch in run() — without this
+        # gate the log_every == train_set_size corner flushed twice, the
+        # second time logging an all-zero row).
+        log_in_scan = opt.log_every_epochs < 0
+        sample_in_scan = opt.sample_every_epochs < 0
         cuts = sorted({k for k in range(1, n + 1)
-                       if k == n or (k * bs) % opt.log_every == 0
-                       or (k * bs) % opt.sample_every == 0})
+                       if k == n
+                       or (log_in_scan and (k * bs) % opt.log_every == 0)
+                       or (sample_in_scan and (k * bs) % opt.sample_every == 0)})
         runner = self._get_runner(opt.use_dp)
         ms = self._dev_mean if self._dev_mean is not None else self._ms_dummy
         start = 0
@@ -512,12 +520,12 @@ class Trainer:
             if opt.use_dp and self.accountant is not None:
                 with self._section("accounting"):
                     self.accountant.step(seg)
-            if (cut * bs) % opt.log_every == 0:
+            if log_in_scan and (cut * bs) % opt.log_every == 0:
                 with self._section("log_flush"):
                     self._flush_log(epoch,
                                     100 * (cut - 1) / self.batches_per_epoch,
                                     print_dp=opt.use_dp)
-            if (cut * bs) % opt.sample_every == 0:
+            if sample_in_scan and (cut * bs) % opt.sample_every == 0:
                 with self._section("sampling"):
                     self.sample(epoch, cut - 1)
             start = cut
@@ -594,11 +602,13 @@ class Trainer:
                 self._accumulate_g(gm)
             self.logger.d_adv_loss = 0.0
 
-        if ((batch_i + 1) * opt.batch_size) % opt.log_every == 0:
+        if opt.log_every_epochs < 0 and \
+                ((batch_i + 1) * opt.batch_size) % opt.log_every == 0:
             with self._section("log_flush"):
                 self._flush_log(epoch, 100 * batch_i / self.batches_per_epoch,
                                 print_dp=use_dp)
-        if ((batch_i + 1) * opt.batch_size) % opt.sample_every == 0:
+        if opt.sample_every_epochs < 0 and \
+                ((batch_i + 1) * opt.batch_size) % opt.sample_every == 0:
             with self._section("sampling"):
                 self.sample(epoch, batch_i)
 

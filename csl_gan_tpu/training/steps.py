@@ -949,8 +949,9 @@ class TrainStepBuilder:
         Returns f(state, rng, images, labels, perm, start, g_mask,
         mean_samples, d_loss_acc, acc_in=None, epoch=0) -> (state, rng,
         d_metric_sums, g_metric_sums, g_count, d_loss_acc).
-          - `perm` is either an explicit row-permutation array or a uint32[2]
-            PRNG key, in which case the permutation is computed on-device as
+          - `perm` is either an explicit row-permutation array (signed ints)
+            or a PRNG key (typed, or raw unsigned words of any impl), in
+            which case the permutation is computed on-device as
             random.permutation(fold_in(key, epoch), N) — one fewer host
             dispatch per epoch, and segments of the same epoch regenerate the
             identical permutation.
@@ -972,7 +973,12 @@ class TrainStepBuilder:
 
         def run(state, rng, images, labels, perm, start, g_mask, mean_samples,
                 d_loss_acc, acc_in=None, epoch=0):
-            if perm.dtype == jnp.uint32 and perm.shape == (2,):
+            # A PRNG key in place of the permutation: raw keys are unsigned
+            # words ([2] threefry, [4] rbg), typed keys have a prng_key
+            # dtype; explicit permutations are signed ints. Either way the
+            # epoch's permutation is derived on-device.
+            if jax.dtypes.issubdtype(perm.dtype, jax.dtypes.prng_key) or \
+                    jnp.issubdtype(perm.dtype, jnp.unsignedinteger):
                 perm = jax.random.permutation(
                     jax.random.fold_in(perm, epoch), images.shape[0])
             def step_core(state, rng, d_acc, i, g_cad):

@@ -207,4 +207,9 @@ def test_poisson_train_cli_scan_and_host(tmp_path):
         assert np.isfinite(float(rows[-1][1]))
         with open(out + "/log.csv") as f:
             lrows = [r for r in csv.reader(f) if r and r[0] != "Epoch"]
-        assert all(np.isfinite(float(v)) for v in lrows[-1][2:])
+        # Scalar columns are floats; per-layer grad-norm columns are
+        # bracketed vectors — parse both.
+        for v in lrows[-1][2:]:
+            vals = np.fromstring(v.strip("[]"), sep=" ") \
+                if v.strip().startswith("[") else [float(v)]
+            assert np.all(np.isfinite(vals))

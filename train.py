@@ -18,6 +18,13 @@ def main(argv=None):
     platform = getattr(opt, "platform", None)
     if platform:
         jax.config.update("jax_platforms", platform)
+    if getattr(opt, "rbg", True):
+        # XLA RngBitGenerator keys: 1.32x the MNIST DP epoch vs threefry
+        # (the 6-way key split per scan step is launch-bound work;
+        # RESULTS.md). Quality parity note: the reference's DP noise comes
+        # from torch's standard Philox generator — the same PRNG family.
+        # --rbg false restores JAX's default threefry streams.
+        jax.config.update("jax_default_prng_impl", "rbg")
     from csl_gan_tpu.utils.misc import enable_compilation_cache
     enable_compilation_cache()
     if getattr(opt, "multihost", False):
