@@ -23,6 +23,17 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _restore_prng_impl():
+    """train.py's CLI main flips the global default PRNG impl to rbg
+    (production default); restore it after every test so raw threefry keys
+    created by later tests keep working (keys never cross test boundaries,
+    so mid-test flips are safe)."""
+    prev = jax.config.jax_default_prng_impl
+    yield
+    jax.config.update("jax_default_prng_impl", prev)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
