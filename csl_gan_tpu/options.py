@@ -280,8 +280,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "randomness: 1.32x the MNIST DP epoch vs JAX's "
                              "threefry default (per-step key splits are "
                              "launch-bound work). Same PRNG quality class as "
-                             "the reference's torch Philox noise. false = "
-                             "threefry.")
+                             "the reference's torch Philox noise, but rbg "
+                             "streams are NOT guaranteed bit-stable across "
+                             "XLA/backend versions — for seed replay across "
+                             "environment upgrades use --rbg false "
+                             "(threefry, stable everywhere).")
     parser.add_argument("--multihost", type=str2bool, default=False,
                         help="Multi-process (DCN) training: call "
                              "jax.distributed.initialize and build the mesh "

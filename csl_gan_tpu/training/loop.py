@@ -431,6 +431,10 @@ class Trainer:
         d_s, g_s, c_s = out_s[2], out_s[3], out_s[4]
 
         def init(k, s):
+            # Extreme-tracked keys seed with +/-inf so a fresh interval's
+            # first min/max wins. MUST stay in sync with the acc_in pop in
+            # steps.py build_segment_runner (same key names) — a zeros
+            # template there would silently log IS Min = 0.
             if k == "is_sens_min":
                 return jnp.full(s.shape, jnp.inf, s.dtype)
             if k == "is_sens_max":

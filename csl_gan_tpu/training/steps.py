@@ -1073,7 +1073,9 @@ class TrainStepBuilder:
             else:
                 # Seed the in-scan accumulators with the previous segment's
                 # sums: cross-segment metric accumulation rides this dispatch
-                # (no separate combine jit per segment).
+                # (no separate combine jit per segment). The extreme-tracked
+                # keys popped here MUST stay in sync with the +/-inf seeding
+                # in loop.py _zero_scan_acc.
                 d0, g0, n0 = acc_in
                 d0 = dict(d0)
                 s_min0 = d0.pop("is_sens_min", jnp.zeros(()))

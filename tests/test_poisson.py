@@ -208,8 +208,9 @@ def test_poisson_train_cli_scan_and_host(tmp_path):
         with open(out + "/log.csv") as f:
             lrows = [r for r in csv.reader(f) if r and r[0] != "Epoch"]
         # Scalar columns are floats; per-layer grad-norm columns are
-        # bracketed vectors — parse both.
+        # bracketed vectors — parse both (np.array raises on malformed
+        # cells, unlike the deprecated np.fromstring which returns empty).
         for v in lrows[-1][2:]:
-            vals = np.fromstring(v.strip("[]"), sep=" ") \
-                if v.strip().startswith("[") else [float(v)]
-            assert np.all(np.isfinite(vals))
+            vals = np.array(v.strip().strip("[]").split(), dtype=float) \
+                if v.strip().startswith("[") else np.array([float(v)])
+            assert vals.size and np.all(np.isfinite(vals))

@@ -318,3 +318,30 @@ def test_full_cadence_matches_cond(tmp_path):
                     jax.tree_util.tree_leaves(s2.g_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_acc_in_chains_is_extremes(tmp_path):
+    """IS-mode interval extremes (is_sens_min/max) must chain across
+    segments through acc_in exactly as one segment over all steps."""
+    opt, builder, state = setup(tmp_path, "--conditional", "-dpm", "is",
+                                "--sigma", "0.1")
+    images, labels = make_data()
+    perm = jnp.arange(100)
+    mask = jnp.asarray([True, True, True, True, True])
+    rng = jax.random.PRNGKey(7)
+
+    runner = builder.build_segment_runner(use_dp=True)
+    _, _, d_all, *_ = runner(state, rng, images, labels, perm, 0, mask,
+                             jnp.zeros(()), jnp.zeros(()))
+
+    _, builder2, state2 = setup(tmp_path, "--conditional", "-dpm", "is",
+                                "--sigma", "0.1")
+    r2 = builder2.build_segment_runner(use_dp=True)
+    st, rng_b, d1, g1, c1, th = r2(state2, rng, images, labels, perm, 0,
+                                   mask[:2], jnp.zeros(()), jnp.zeros(()))
+    _, _, d2, *_ = r2(st, rng_b, images, labels, perm, 2, mask[2:],
+                      jnp.zeros(()), th, (d1, g1, c1))
+    for k in ("is_sens", "is_sens_min", "is_sens_max"):
+        np.testing.assert_allclose(np.asarray(d_all[k]), np.asarray(d2[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    assert float(d2["is_sens_min"]) <= float(d2["is_sens"]) / 5

@@ -25,6 +25,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # Production PRNG (train.py main / bench.py flip this too): without it
+    # the lowered scan would include the threefry key-split fusions that the
+    # rbg default exists to eliminate, and counts would not match the
+    # shipped program.
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from csl_gan_tpu import options
     from csl_gan_tpu.training.loop import Trainer
 
@@ -61,7 +67,9 @@ def main():
     comp = None
     counts = {}
     for line in txt.splitlines():
-        m = re.match(r"(?:ENTRY )?%?([\w.\-]+) \([^)]*\) -> .* {", line)
+        # Computation headers: params may be tuple-typed (contain parens),
+        # so anchor on the final " -> ... {" instead of a paren-free group.
+        m = re.match(r"(?:ENTRY )?%?([\w.\-]+) \(.*\) -> .* \{", line)
         if m:
             comp = m.group(1)
             counts[comp] = Counter()
@@ -70,9 +78,16 @@ def main():
             comp = None
             continue
         if comp:
-            lm = re.match(r"\s+(?:ROOT )?%?[\w.\-]+ = \S+ ([\w\-]+)\(", line)
+            lm = re.match(r"\s+(?:ROOT )?%?[\w.\-]+ = ", line)
             if lm:
-                counts[comp][lm.group(1)] += 1
+                # The opcode is the first lowercase word directly followed
+                # by "(" after the result type. Types/layouts never match:
+                # shapes are followed by "[", layout tokens T(/S( start
+                # uppercase. Handles tuple-typed results, which the old
+                # `\S+ opname(` form silently skipped.
+                om = re.search(r"\b([a-z][a-z0-9\-]*)\(", line[lm.end():])
+                if om:
+                    counts[comp][om.group(1)] += 1
     for name, c in sorted(counts.items(),
                           key=lambda kv: -sum(kv[1].values()))[:6]:
         total = sum(c.values())
