@@ -58,10 +58,15 @@ def bench_jax() -> float:
         float(jax.device_get(
             jax.tree_util.tree_leaves(trainer.state.d_params)[0].ravel()[0]))
 
+    n_epochs, n_trials = 25, 6
     t0 = time.perf_counter()
-    trainer._epoch_scan(0)
+    # The production run() groups epochs between host events into ONE
+    # dispatch (loop.py _group_epochs/_multi_epoch_scan); with this config's
+    # huge log/sample/save cadences it would dispatch n_epochs-size groups,
+    # which is exactly what each trial below measures.
+    trainer._multi_epoch_scan(0, n_epochs)
     force()
-    log(f"compile + first epoch: {time.perf_counter() - t0:.1f}s")
+    log(f"compile + first {n_epochs} epochs: {time.perf_counter() - t0:.1f}s")
 
     # Tunneled-TPU variance: best of several trials (observed spread on
     # identical code: 60-139 ms/epoch across runs; trials cost ~0.5 s each
@@ -70,14 +75,12 @@ def bench_jax() -> float:
     # regardless of payload — per-epoch forcing would measure the tunnel,
     # not the training (real runs never read params back per epoch; the
     # per-epoch privacy row is host-side accountant math only).
-    n_epochs, n_trials = 25, 6
     best = float("inf")
     e = 1
     for _ in range(n_trials):
         t0 = time.perf_counter()
-        for _ in range(n_epochs):
-            trainer._epoch_scan(e)
-            e += 1
+        trainer._multi_epoch_scan(e, n_epochs)
+        e += n_epochs
         force()
         best = min(best, (time.perf_counter() - t0) / n_epochs)
     sps = steps_per_epoch * BATCH / best

@@ -384,10 +384,10 @@ def derive_and_validate(opt) -> None:
               "clipping.")
     if (opt.g_label_emb_mode != "concat" or opt.d_label_emb_mode != "concat") and opt.model == "Vanilla":
         raise Exception("Vanilla model with embedded labels not implemented")
-    if opt.conditional and opt.d_label_emb_mode == "embed":
-        # The reference raises this at D construction for every conditional
-        # arch (models.py:33-34; the embed branch in DCResNet forward is dead
-        # code — the base Discriminator never builds the embedding). Keep the
+    if opt.conditional and opt.n_classes > 1 and opt.d_label_emb_mode == "embed":
+        # The reference raises this at D construction only when n_classes > 1
+        # (models.py:32-34 — the embed branch is inside the `if n_classes > 1`
+        # block; a single-class conditional config is accepted). Keep the
         # same surface but fail at config time.
         raise Exception("Embed for D not implemented")
     if opt.poisson and opt.dp_mode != "gc":

@@ -220,11 +220,17 @@ class Trainer:
         # 100-step MNIST epoch is 1.3 GFLOP / 1.74 GB — compute is ~2 ms).
         # The name mapping into logger.stats happens once per log flush.
         self._scan_acc = None
-        # Zero accumulator template (built lazily from the runner's output
+        # Zero accumulator templates (built lazily from the runner's output
         # structure via eval_shape): passed as acc_in on the first segment of
         # every flush interval so cross-segment accumulation happens inside
         # the runner dispatch itself, with a single jit specialization.
-        self._zero_acc = None
+        # Keyed by use_dp like the runners themselves — the gc/is metric
+        # dicts differ in structure, so a single cached template would be a
+        # mismatched pytree if a scan epoch ever ran with the other use_dp.
+        self._zero_accs = {}
+        # Multi-epoch runners (one dispatch covering k whole epochs when the
+        # logging interval spans epoch boundaries), keyed by (use_dp, k).
+        self._epoch_runners = {}
         # g_mask cache: segment cut points repeat every epoch; re-uploading
         # the mask array is one more per-segment dispatch otherwise.
         self._g_masks = {}
@@ -424,6 +430,11 @@ class Trainer:
                     and float(self.opt.train_d_until_threshold) >= 1e10))
         return self._seg_runners[use_dp]
 
+    def _get_zero_acc(self, use_dp: bool, runner, args):
+        if use_dp not in self._zero_accs:
+            self._zero_accs[use_dp] = self._zero_scan_acc(runner, args)
+        return self._zero_accs[use_dp]
+
     def _zero_scan_acc(self, runner, args):
         """Zero acc_in template from the runner's output structure
         (eval_shape: trace only, no compile/execute)."""
@@ -512,11 +523,10 @@ class Trainer:
                 # previous segments' metric sums in via acc_in.
                 args = (self.state, self._seg_rng, *self._dev_data,
                         self._perm_key, start, g_mask, ms, self._thresh_acc)
-                if self._zero_acc is None:
-                    self._zero_acc = self._zero_scan_acc(
-                        runner, args + (None, epoch))
+                zero_acc = self._get_zero_acc(opt.use_dp, runner,
+                                              args + (None, epoch))
                 acc_in = self._scan_acc if self._scan_acc is not None \
-                    else self._zero_acc
+                    else zero_acc
                 (self.state, self._seg_rng, d_sums, g_sums, g_count,
                  self._thresh_acc) = runner(*args, acc_in, epoch)
                 self._force()
@@ -534,6 +544,90 @@ class Trainer:
                     self.sample(epoch, cut - 1)
             start = cut
         return n - 1  # last batch index
+
+    # Cap on epochs per dispatch: bounds host-unresponsiveness per dispatch
+    # and the compile-specialization variety while still amortizing the
+    # ~1 ms dispatch-issue cost to ~10 us/epoch.
+    MAX_EPOCH_GROUP = 100
+
+    def _get_epochs_runner(self, use_dp: bool, k: int):
+        key = (use_dp, k)
+        if key not in self._epoch_runners:
+            mean_fn = (self.mean_sampler.device_sample_fn()
+                       if self._dev_mean is not None else None)
+            self._epoch_runners[key] = self.builder.build_epochs_runner(
+                use_dp, k, len(self.dataloader), mean_fn,
+                preprocess=self._dev_preprocess,
+                batch_sharding=(self.mesh.batch if self.mesh.n_devices > 1
+                                else None),
+                assume_full_cadence=(
+                    self.opt.n_d_steps <= 1
+                    and float(self.opt.train_d_until_threshold) >= 1e10))
+        return self._epoch_runners[key]
+
+    def _multi_epoch_scan(self, epoch0: int, k: int) -> int:
+        """k whole epochs in ONE runner dispatch (no intra-epoch log/sample
+        cuts — the caller guarantees no host event falls strictly inside the
+        span). Bit-identical to k chained _epoch_scan calls
+        (tests/test_segment_runner.py); the accountant is NOT stepped here —
+        the caller steps it per epoch when writing privacy rows."""
+        opt = self.opt
+        n = len(self.dataloader)
+        runner = self._get_epochs_runner(opt.use_dp, k)
+        ms = self._dev_mean if self._dev_mean is not None else self._ms_dummy
+        if (0, n) not in self._g_masks:
+            self._g_masks[(0, n)] = self.mesh.put_replicated(
+                jnp.asarray(np.arange(n) % opt.n_d_steps == 0))
+        g_mask = self._g_masks[(0, n)]
+        # Zero template comes from the single-epoch runner's output structure
+        # (identical to the epochs runner's).
+        seg_args = (self.state, self._seg_rng, *self._dev_data,
+                    self._perm_key, 0, g_mask, ms, self._thresh_acc)
+        zero_acc = self._get_zero_acc(opt.use_dp, self._get_runner(opt.use_dp),
+                                      seg_args + (None, epoch0))
+        acc_in = self._scan_acc if self._scan_acc is not None else zero_acc
+        with self._section("interval_scan"):
+            (self.state, self._seg_rng, d_sums, g_sums, g_count,
+             self._thresh_acc) = runner(
+                self.state, self._seg_rng, *self._dev_data, self._perm_key,
+                g_mask, ms, self._thresh_acc, acc_in, epoch0)
+            self._force()
+        self._scan_acc = (d_sums, g_sums, g_count)
+        return n - 1
+
+    def _group_epochs(self, epoch: int) -> int:
+        """How many epochs from `epoch` can run as one dispatch: extend while
+        the would-be interior epoch has no host event (log/sample/save
+        cadence, epsilon-budget stop — the budget stop is deterministic in
+        the step count, so it is computed ahead instead of checked after)."""
+        opt = self.opt
+        n = len(self.dataloader)
+        budget = opt.epsilon_budget if opt.use_dp else None
+        base_steps = self.accountant.steps if self.accountant else 0
+
+        def has_event(j: int) -> bool:
+            if (j + 1) % opt.log_every_epochs == 0:
+                return True
+            if (j + 1) % opt.sample_every_epochs == 0:
+                return True
+            if (j + 1) % opt.save_every == 0:
+                return True
+            if budget is not None:
+                saved = self.accountant.steps
+                self.accountant.steps = base_steps + (j - epoch + 1) * n
+                eps, _ = self.accountant.get_privacy_spent(opt.delta)
+                self.accountant.steps = saved
+                # Bare eps, matching run()'s break condition (reference
+                # train.py:592 compares without the mean-sample cost).
+                if eps > budget:
+                    return True
+            return False
+
+        k = 1
+        while (epoch + k < opt.n_epochs and k < self.MAX_EPOCH_GROUP
+               and not has_event(epoch + k - 1)):
+            k += 1
+        return k
 
     def _d_step(self, x, y, use_dp: bool, valid=None):
         opt = self.opt
@@ -700,11 +794,25 @@ class Trainer:
             profile_ctx = profile_dir
 
         epoch = self.start_epoch
+        # Epoch grouping: when the scan path is active and no log/sample
+        # cadence falls inside an epoch, one runner dispatch can span every
+        # epoch up to the next host event (log/sample/save/budget-stop) —
+        # the last ~1 ms/epoch of dispatch-issue cost on relay links.
+        group_ok = (self._scan_mode() and opt.log_every_epochs > 0
+                    and opt.sample_every_epochs > 0)
         try:
-            for epoch in range(self.start_epoch, opt.n_epochs):
+            # `next_e` is the iteration cursor; `epoch` tracks the LAST
+            # completed epoch (the for-loop semantics of the single-epoch
+            # path — the final save below labels from it).
+            next_e = self.start_epoch
+            while next_e < opt.n_epochs:
+                epoch = next_e
                 self.logger.reset_stats()
                 batch_i = 0
-                if self._scan_mode():
+                k = self._group_epochs(epoch) if group_ok else 1
+                if k > 1:
+                    batch_i = self._multi_epoch_scan(epoch, k)
+                elif self._scan_mode():
                     batch_i = self._epoch_scan(epoch)
                 elif self._dev_data is not None:
                     perm = self._perm(jax.random.fold_in(self.root_key,
@@ -726,26 +834,42 @@ class Trainer:
                     for batch_i, (x, y) in enumerate(self.dataloader):
                         self.train_batch(epoch, batch_i, x, y, use_dp=opt.use_dp)
 
-                if opt.log_every_epochs > 0 and (epoch + 1) % opt.log_every_epochs == 0:
-                    self._flush_log(epoch, 100)
-                if opt.sample_every_epochs > 0 and \
-                        (epoch + 1) % opt.sample_every_epochs == 0:
-                    self.sample(epoch, batch_i)
+                # Per-epoch host bookkeeping for every epoch the dispatch
+                # covered. By _group_epochs construction, log/sample/save
+                # events can only fall on the group's LAST epoch; privacy
+                # rows (host accountant math) are written for every epoch.
+                stop = False
+                for e in range(next_e, next_e + k):
+                    if k > 1 and self.accountant is not None:
+                        # The single-epoch paths step the accountant inside
+                        # _epoch_scan/_d_step; the grouped dispatch does not.
+                        self.accountant.step(len(self.dataloader))
+                    if opt.log_every_epochs > 0 and (e + 1) % opt.log_every_epochs == 0:
+                        self._flush_log(e, 100)
+                    if opt.sample_every_epochs > 0 and \
+                            (e + 1) % opt.sample_every_epochs == 0:
+                        self.sample(e, batch_i)
 
-                eps = None
-                if opt.use_dp:
-                    eps, _ = self.accountant.get_privacy_spent(opt.delta)
-                    self.privacy_writer.writerow(
-                        [epoch, eps + self.mean_sample_privacy_cost])
-                    self.privacy_log.flush()
+                    eps = None
+                    if opt.use_dp:
+                        eps, _ = self.accountant.get_privacy_spent(opt.delta)
+                        self.privacy_writer.writerow(
+                            [e, eps + self.mean_sample_privacy_cost])
+                        self.privacy_log.flush()
 
-                if opt.use_dp and opt.epsilon_budget is not None and \
-                        eps > opt.epsilon_budget:
+                    if opt.use_dp and opt.epsilon_budget is not None and \
+                            eps > opt.epsilon_budget:
+                        stop = True
+
+                    if (e + 1) % opt.save_every == 0:
+                        with self._section("checkpoint"):
+                            self._save(e + 1, e)
+                    epoch = e
+                    if stop:
+                        break
+                if stop:
                     break
-
-                if (epoch + 1) % opt.save_every == 0:
-                    with self._section("checkpoint"):
-                        self._save(epoch + 1, epoch)
+                next_e = epoch + 1
         finally:
             if profile_ctx is not None:
                 jax.profiler.stop_trace()

@@ -926,188 +926,23 @@ class TrainStepBuilder:
     def build_segment_runner(self, use_dp: bool, mean_sample_fn=None,
                              preprocess=None, batch_sharding=None,
                              assume_full_cadence=False):
-        """One jitted lax.scan over a whole logging interval of batches.
+        """One jitted lax.scan over a whole logging interval of batches
+        (moved to training/segment_runner.py; kept here as the public
+        entry point)."""
+        from csl_gan_tpu.training import segment_runner
+        return segment_runner.build_segment_runner(
+            self, use_dp, mean_sample_fn, preprocess, batch_sharding,
+            assume_full_cadence)
 
-        The host dispatches ONCE per interval instead of ~15 ops per batch —
-        the difference between ~18 ms/step and device-limited throughput on
-        dispatch-latency-heavy links (and the idiomatic XLA structure
-        everywhere). Gating of the G update comes from two sources, both
-        jit-safe:
-          - the n_d_steps cadence, as a per-batch boolean mask (dynamic
-            input, so interval length is the only retrace key);
-          - train_d_until_threshold (reference train.py:521-533): the
-            running D adversarial-loss sum rides the scan carry and a
-            lax.cond skips the G update while its n_d_steps average is
-            above the threshold — so the flagship CelebA DP config
-            (threshold forced to -1, options.py) stays on this fast path.
-
-        `assume_full_cadence=True` (caller guarantees g_mask is all-True and
-        threshold gating is off, i.e. n_d_steps==1) drops the lax.cond and
-        runs the G update unconditionally — TPU conditionals flush the
-        pipeline, a measurable per-step cost on launch-bound workloads.
-
-        Returns f(state, rng, images, labels, perm, start, g_mask,
-        mean_samples, d_loss_acc, acc_in=None, epoch=0) -> (state, rng,
-        d_metric_sums, g_metric_sums, g_count, d_loss_acc).
-          - `perm` is either an explicit row-permutation array (signed ints)
-            or a PRNG key (typed, or raw unsigned words of any impl), in
-            which case the permutation is computed on-device as
-            random.permutation(fold_in(key, epoch), N) — one fewer host
-            dispatch per epoch, and segments of the same epoch regenerate the
-            identical permutation.
-          - `acc_in`, when given, is the (d_sums, g_sums, g_count) tuple from
-            the previous segment: metric accumulation across segments then
-            happens inside this dispatch instead of a separate combine jit.
-          - `mean_samples` may be a dummy scalar when unused; `d_loss_acc` is
-            the threshold accumulator carried across segments (pass zeros(())
-            when gating is off).
-        """
-        bs = self.opt.batch_size
-        use_mean = mean_sample_fn is not None
-        need_pen = bool(self.penalty_types)
-        need_adapt = self.adaptive and use_dp
-        threshold = float(self.opt.train_d_until_threshold)
-        use_threshold = threshold < 1e10
-        full_cadence = assume_full_cadence and not use_threshold
-        n_d = max(1, int(self.opt.n_d_steps))
-
-        def run(state, rng, images, labels, perm, start, g_mask, mean_samples,
-                d_loss_acc, acc_in=None, epoch=0):
-            # A PRNG key in place of the permutation: raw keys are unsigned
-            # words ([2] threefry, [4] rbg), typed keys have a prng_key
-            # dtype; explicit permutations are signed ints. Either way the
-            # epoch's permutation is derived on-device.
-            if jax.dtypes.issubdtype(perm.dtype, jax.dtypes.prng_key) or \
-                    jnp.issubdtype(perm.dtype, jnp.unsignedinteger):
-                perm = jax.random.permutation(
-                    jax.random.fold_in(perm, epoch), images.shape[0])
-            def step_core(state, rng, d_acc, i, g_cad):
-                rng, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng, 6)
-                valid = None
-                if use_dp and self.poisson:
-                    x, yy, valid = self.poisson_draw(
-                        images, labels, jax.random.fold_in(k_pp, 0x901))
-                    y = yy if self.conditional else None
-                else:
-                    idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,),
-                                                (bs,))
-                    x = self.unflatten_rows(images[idx])
-                    y = labels[idx] if self.conditional else None
-                if batch_sharding is not None:
-                    # Shard the gathered batch over the mesh's data axis so
-                    # the per-sample-grad work actually parallelizes (the
-                    # dataset itself is replicated).
-                    x = jax.lax.with_sharding_constraint(x, batch_sharding)
-                    if y is not None:
-                        y = jax.lax.with_sharding_constraint(y, batch_sharding)
-                if preprocess is not None:
-                    x = preprocess(x, k_pp)
-
-                if need_pen and use_mean:
-                    pen_x, pen_y = mean_sample_fn(mean_samples, k_pen, y,
-                                                  x.shape[0])
-                    if not self.conditional:
-                        pen_y = None
-                else:
-                    pen_x, pen_y = x, y
-                if need_adapt and use_mean:
-                    ax, ay = mean_sample_fn(mean_samples, k_ad, None, bs)
-                    if not self.conditional:
-                        ay = None
-                else:
-                    ax, ay = x, y
-
-                state, dm = self._d_core(state, x, y, pen_x, pen_y, ax, ay,
-                                         k_d, use_dp, valid)
-                d_acc = d_acc + dm["d_adv_loss"]
-                if use_threshold:
-                    g_on = jnp.logical_and(g_cad, d_acc / n_d < threshold)
-                else:
-                    g_on = g_cad
-
-                def do_g(st):
-                    return self._g_step(st, k_g)
-
-                def skip_g(st):
-                    zeros = {"g_adv_loss": jnp.asarray(0.0)}
-                    if self.is_acgan:
-                        zeros["g_aux_loss"] = jnp.asarray(0.0)
-                        zeros["g_aux_acc"] = jnp.asarray(0.0)
-                    return st, zeros
-
-                if full_cadence:
-                    # Caller guarantees g_on is always True; skip the
-                    # conditional (TPU pipeline flush) entirely.
-                    state, gm = do_g(state)
-                    g_on = jnp.bool_(True)
-                else:
-                    state, gm = jax.lax.cond(g_on, do_g, skip_g, state)
-                # The accumulator resets at every cadence point, trained or
-                # not (reference train.py:533 zeroes it after the decision).
-                d_acc = jnp.where(g_cad, 0.0, d_acc)
-                return state, rng, d_acc, dm, gm, g_on
-
-            n = g_mask.shape[0]
-            # Metric SUMS ride the scan carry instead of being stacked into
-            # [n]-buffers and summed afterwards: per-step dynamic-update-
-            # slices + copies for ~15 stacked metrics were a measurable
-            # fraction of the (launch-overhead-bound) MNIST scan body.
-            # The structure of one step's metrics comes from eval_shape
-            # (trace-time only, no compute).
-            dm_s, gm_s, _ = jax.eval_shape(
-                lambda s, r, a: step_core(s, r, a, jnp.int32(0),
-                                          jnp.bool_(True))[3:],
-                state, rng, d_loss_acc)
-            zeros = lambda t: jax.tree.map(
-                lambda x: jnp.zeros(x.shape, x.dtype), t)
-            track_is = self.dp_mode == "is" and use_dp
-            # is_sens is a scalar (flat sensitivity) or an [L] vector
-            # (per-param mode) — size the extreme trackers to match.
-            sens_shape = dm_s["is_sens"].shape if track_is else ()
-            if acc_in is None:
-                d0, g0, n0 = zeros(dm_s), zeros(gm_s), jnp.zeros((), jnp.int32)
-                s_min0 = jnp.full(sens_shape, jnp.inf) if track_is \
-                    else jnp.zeros(())
-                s_max0 = jnp.full(sens_shape, -jnp.inf) if track_is \
-                    else jnp.zeros(())
-            else:
-                # Seed the in-scan accumulators with the previous segment's
-                # sums: cross-segment metric accumulation rides this dispatch
-                # (no separate combine jit per segment). The extreme-tracked
-                # keys popped here MUST stay in sync with the +/-inf seeding
-                # in loop.py _zero_scan_acc.
-                d0, g0, n0 = acc_in
-                d0 = dict(d0)
-                s_min0 = d0.pop("is_sens_min", jnp.zeros(()))
-                s_max0 = d0.pop("is_sens_max", jnp.zeros(()))
-            carry0 = (state, rng, d_loss_acc, d0, g0, n0, s_min0, s_max0)
-
-            def body(carry, inp):
-                state, rng, d_acc, d_sum, g_sum, g_n, s_min, s_max = carry
-                i, g_cad = inp
-                state, rng, d_acc, dm, gm, g_on = step_core(
-                    state, rng, d_acc, i, g_cad)
-                d_sum = jax.tree.map(jnp.add, d_sum, dm)
-                g_sum = jax.tree.map(jnp.add, g_sum, gm)
-                g_n = g_n + g_on.astype(jnp.int32)
-                if track_is:
-                    # True interval extremes for the IS sensitivity log
-                    # columns (reference train.py:331-338).
-                    s_min = jnp.minimum(s_min, dm["is_sens"])
-                    s_max = jnp.maximum(s_max, dm["is_sens"])
-                return (state, rng, d_acc, d_sum, g_sum, g_n, s_min,
-                        s_max), None
-
-            (state, rng, d_loss_acc, d_sums, g_sums, g_count, s_min,
-             s_max), _ = jax.lax.scan(body, carry0,
-                                      (jnp.arange(n), g_mask))
-            state = self._constrain_state(state)
-            if track_is:
-                d_sums["is_sens_min"] = s_min
-                d_sums["is_sens_max"] = s_max
-            return (state, rng, d_sums, g_sums, g_count, d_loss_acc)
-
-        return jax.jit(run, donate_argnums=(0,))
+    def build_epochs_runner(self, use_dp: bool, n_epochs: int,
+                            n_batches: int, mean_sample_fn=None,
+                            preprocess=None, batch_sharding=None,
+                            assume_full_cadence=False):
+        """n_epochs whole epochs in one dispatch (segment_runner.py)."""
+        from csl_gan_tpu.training import segment_runner
+        return segment_runner.build_epochs_runner(
+            self, use_dp, n_epochs, n_batches, mean_sample_fn, preprocess,
+            batch_sharding, assume_full_cadence)
 
     # ---------------- sampling (fixed-z grids, eval mode) ----------------
 

@@ -345,3 +345,72 @@ def test_acc_in_chains_is_extremes(tmp_path):
         np.testing.assert_allclose(np.asarray(d_all[k]), np.asarray(d2[k]),
                                    rtol=1e-5, atol=1e-7, err_msg=k)
     assert float(d2["is_sens_min"]) <= float(d2["is_sens"]) / 5
+
+
+def _zero_acc_like(runner, args):
+    """Zero acc_in template from the runner's output structure (the test
+    replica of loop.py _zero_scan_acc, without the mesh put)."""
+    out_s = jax.eval_shape(runner, *args)
+    z = lambda t: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), t)
+    return z(out_s[2]), z(out_s[3]), z(out_s[4])
+
+
+def test_epochs_runner_matches_chained_epoch_dispatches(tmp_path):
+    """build_epochs_runner over k epochs must be BIT-IDENTICAL to k chained
+    single-epoch segment dispatches (same rng chain, same on-device
+    permutation derivation from (key, epoch), same acc_in threading) —
+    the multi-epoch dispatch amortization must not change training."""
+    argv = ("--conditional", "-dpm", "gc", "--sigma", "0.5")
+    opt, builder, state = setup(tmp_path, *argv)
+    images, labels = make_data()
+    perm_key = jax.random.PRNGKey(5)  # raw key: on-device per-epoch perms
+    g_mask = jnp.asarray([True, False, True, False, True])
+    rng = jax.random.PRNGKey(7)
+    k = 3
+
+    seg = builder.build_segment_runner(use_dp=True)
+    seg_args = (state, rng, images, labels, perm_key, 0, g_mask,
+                jnp.zeros(()), jnp.zeros(()), None, 0)
+    acc = _zero_acc_like(seg, seg_args)
+    st, r, th = state, rng, jnp.zeros(())
+    for e in range(k):
+        st, r, d_s, g_s, g_c, th = seg(st, r, images, labels, perm_key, 0,
+                                       g_mask, jnp.zeros(()), th, acc, e)
+        acc = (d_s, g_s, g_c)
+
+    _, builder2, state2 = setup(tmp_path, *argv)
+    epochs = builder2.build_epochs_runner(use_dp=True, n_epochs=k,
+                                          n_batches=5)
+    seg2 = builder2.build_segment_runner(use_dp=True)
+    acc0 = _zero_acc_like(seg2, (state2, rng, images, labels, perm_key, 0,
+                                 g_mask, jnp.zeros(()), jnp.zeros(()), None,
+                                 0))
+    st2, r2, d_s2, g_s2, g_c2, th2 = epochs(
+        state2, rng, images, labels, perm_key, g_mask, jnp.zeros(()),
+        jnp.zeros(()), acc0, 0)
+
+    assert int(g_c2) == int(acc[2])
+    for a, b in zip(jax.tree_util.tree_leaves(st.d_params),
+                    jax.tree_util.tree_leaves(st2.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(st.g_params),
+                    jax.tree_util.tree_leaves(st2.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for key in acc[0]:
+        np.testing.assert_array_equal(np.asarray(acc[0][key]),
+                                      np.asarray(d_s2[key]))
+    np.testing.assert_array_equal(np.asarray(th), np.asarray(th2))
+
+
+def test_unsigned_non_key_perm_rejected(tmp_path):
+    """An explicit uint32 permutation array must be rejected, not silently
+    replaced with a derived permutation (only raw key shapes (2,)/(4,) and
+    typed keys are treated as keys)."""
+    import pytest
+    opt, builder, state = setup(tmp_path)
+    images, labels = make_data()
+    runner = builder.build_segment_runner(use_dp=False)
+    bad_perm = jnp.arange(100, dtype=jnp.uint32)
+    with pytest.raises(TypeError, match="unsigned"):
+        runner(state, jax.random.PRNGKey(0), images, labels, bad_perm, 0,
+               jnp.asarray([True]), jnp.zeros(()), jnp.zeros(()))
