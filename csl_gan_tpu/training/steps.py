@@ -813,18 +813,18 @@ class TrainStepBuilder:
         f, args = self._combined_ps_args(x, y, fake_img, row_w)
         ps = gops.per_sample_grads(f, state.d_params, *args, chunk=self.chunk)
 
+        from csl_gan_tpu.ops import tmsv
         leaves, treedef = jax.tree_util.tree_flatten(ps)
         keys = jax.random.split(k_noise, len(leaves))
         out_leaves = []
         if self.dp_mode == "tm":
             for g, k in zip(leaves, keys):
-                out_leaves.append(self._trimmed_mean(g, k))
+                out_leaves.append(tmsv.trimmed_mean(
+                    g, k, self.tm_m, self.tm_min_val, self.tm_max_val,
+                    self.smooth_sens_t, self.rho_per_step))
         else:
-            sv_std = 2.0 / jnp.sqrt(2.0 * self.rho_per_step)
             for g, k in zip(leaves, keys):
-                vote = jnp.sum(jnp.sign(g), axis=0)
-                noisy = vote + sv_std * jax.random.normal(k, vote.shape)
-                out_leaves.append(noisy / b)
+                out_leaves.append(tmsv.sign_vote(g, k, self.rho_per_step))
         grads = jax.tree_util.tree_unflatten(treedef, out_leaves)
 
         pen_value = jnp.asarray(0.0)
@@ -844,30 +844,6 @@ class TrainStepBuilder:
             self._aux_batch(r_aux, y, fake=False), pen_value)
         return state.replace(d_params=d_params, d_opt_state=d_opt,
                              g_batch_stats=g_stats), metrics
-
-    def _trimmed_mean(self, g, key):
-        """Per-coordinate m-trimmed mean with smooth-sensitivity Student-t
-        noise (experimental parity with the fork's TMPrivacyEngine)."""
-        b = g.shape[0]
-        m = min(self.tm_m, (b - 1) // 2)
-        n_keep = b - 2 * m
-        z = jnp.sort(jnp.clip(g, self.tm_min_val, self.tm_max_val), axis=0)
-        mid = z[m:b - m]
-        mean = jnp.mean(mid, axis=0)
-        # Smooth sensitivity: S = max_k e^{-t k} (z[ub_k] - z[lb_k]) / n_keep,
-        # the window can slide by at most k positions at distance k.
-        t = self.smooth_sens_t
-        terms = []
-        for k in range(0, m + 1):
-            ub = min(b - 1, b - m - 1 + k)
-            lb = max(0, m - k)
-            terms.append(jnp.exp(-t * k) * (z[ub] - z[lb]) / n_keep)
-        terms.append(jnp.full_like(mean, jnp.exp(-t * (m + 1))
-                                   * (self.tm_max_val - self.tm_min_val) / n_keep))
-        s = jnp.max(jnp.stack(terms), axis=0)
-        scale = s / jnp.sqrt(2.0 * self.rho_per_step)
-        noise = jax.random.t(key, 3.0, mean.shape) * scale
-        return mean + noise
 
     # ---------------- G step ----------------
 
