@@ -122,5 +122,25 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def ref_pixel_shuffle_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """The reference UpsampleConv's upsampling EXACTLY: torch.cat([x]*4, C)
+    + F.pixel_shuffle(2) in NCHW (reference DCResNet_models.py:13-17).
+
+    Unlike clean nearest-neighbor upsampling, this applies a PHASE-DEPENDENT
+    CHANNEL PERMUTATION: out[2i+a, 2j+b, c] = x[i, j, (4c + 2a + b) mod C]
+    (pixel_shuffle reads cat-channel 4c + 2a + b, and cat([x]*4) maps
+    cat-channel u to x-channel u mod C). A conv trained after it absorbs the
+    fixed rearrangement, so fresh training uses upsample_nearest_2x; this op
+    exists for reference-checkpoint interop, where the converted conv
+    weights expect exactly this arrangement
+    (convert_reference_checkpoint.py)."""
+    b, h, w, c = x.shape
+    idx = jnp.arange(c)
+    phases = jnp.stack([x[..., (4 * idx + 2 * a + bb) % c]
+                        for a in (0, 1) for bb in (0, 1)], axis=-2)
+    o = phases.reshape(b, h, w, 2, 2, c)
+    return o.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
 def one_hot(y, n_classes, dtype=jnp.float32):
     return jax.nn.one_hot(y, n_classes, dtype=dtype)

@@ -25,6 +25,7 @@ from flax import linen as nn
 import jax
 
 from csl_gan_tpu.models.common import (TorchConv, TorchDense, one_hot,
+                                       ref_pixel_shuffle_upsample_2x,
                                        torch_kernel_init, upsample_nearest_2x)
 from csl_gan_tpu.ops import pallas_groupnorm
 
@@ -171,9 +172,21 @@ class UpsampleConv(nn.Module):
     use_bias: bool = True
     dtype: object = None
     defer_d2s: bool = False   # k>1 only: return [N,H,W,2,2,F] phase layout
+    ref_ps: bool = False      # reference-interop: cat-x4 + pixel_shuffle
+    #                           upsampling (channel-scrambled; see
+    #                           common.ref_pixel_shuffle_upsample_2x)
 
     @nn.compact
     def __call__(self, x):
+        if self.ref_ps:
+            # Naive correctness path for converted reference checkpoints:
+            # the scramble makes the conv's effective input-channel wiring
+            # phase-dependent, so the phase-fused form does not apply.
+            # Param tree is unchanged (TorchConv_0/Conv_0 in both branches).
+            up = ref_pixel_shuffle_upsample_2x(x)
+            return TorchConv(self.features, self.kernel_size, padding="SAME",
+                             use_bias=self.use_bias, dtype=self.dtype,
+                             name="TorchConv_0")(up)
         if self.kernel_size == 1:
             if self.defer_d2s:
                 raise ValueError(
@@ -194,10 +207,12 @@ class ResBlockUp(nn.Module):
     kernel_size: int = 5
     bn: bool = True
     dtype: object = None
+    ref_ps: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        s = UpsampleConv(self.features, 1, dtype=self.dtype)(x)
+        s = UpsampleConv(self.features, 1, dtype=self.dtype,
+                         ref_ps=self.ref_ps)(x)
 
         # Norm layers compute fp32 even under --bf16 (precision-sensitive;
         # the convs carry the MXU bf16 win).
@@ -214,14 +229,16 @@ class ResBlockUp(nn.Module):
         # transpose moves next to its single consumer (the conv below)
         # instead of being materialized fp32 for the norm's reads.
         o = UpsampleConv(self.features, self.kernel_size, use_bias=False,
-                         dtype=self.dtype, defer_d2s=True)(o)
+                         dtype=self.dtype, defer_d2s=not self.ref_ps,
+                         ref_ps=self.ref_ps)(o)
         if self.bn:
             o = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                              use_running_average=not train)(o.astype(jnp.float32))
             o = nn.relu(o)
         else:
             o = _GroupNormRelu(name="GroupNorm_1")(o)
-        o = phase_d2s(o)
+        if not self.ref_ps:   # ref_ps path is already full-res
+            o = phase_d2s(o)
         o = TorchConv(self.features, self.kernel_size, padding="SAME",
                       dtype=self.dtype)(o)
 
@@ -238,6 +255,7 @@ class DCResNetGenerator(nn.Module):
     emb_mode: str = "concat"
     bn: bool = True
     dtype: object = None   # compute dtype (--bf16); params stay fp32
+    ref_ps: bool = False   # reference-interop upsampling (see UpsampleConv)
 
     family = "wgan"
 
@@ -258,7 +276,8 @@ class DCResNetGenerator(nn.Module):
                       self.channels[0])
 
         for ch in self.channels[1:]:
-            x = ResBlockUp(ch, 5, bn=self.bn, dtype=self.dtype)(x, train=train)
+            x = ResBlockUp(ch, 5, bn=self.bn, dtype=self.dtype,
+                           ref_ps=self.ref_ps)(x, train=train)
 
         if self.bn:
             x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,

@@ -74,8 +74,15 @@ def init_models(opt, init_G: bool = True, init_D: bool = True,
 
     G = G_vars = D = D_vars = None
     if init_G:
+        g_kwargs = {}
+        if opt_get(opt, "ref_pixel_shuffle", False) and \
+                opt.model == "DeepConvResNet":
+            # Reference-checkpoint interop (convert_reference_checkpoint.py):
+            # converted conv weights expect the reference's channel-scrambled
+            # pixel-shuffle upsampling.
+            g_kwargs["ref_ps"] = True
         G = g_ctor(z_dim=opt.g_latent_dim, bn=bn, n_classes=n_classes,
-                   emb_mode=opt.g_label_emb_mode, dtype=dtype)
+                   emb_mode=opt.g_label_emb_mode, dtype=dtype, **g_kwargs)
         z = jnp.zeros((1, opt.g_latent_dim), jnp.float32)
         y = jnp.zeros((1,), jnp.int32) if n_classes > 0 else None
         G_vars = run_init(lambda k: G.init(k, z, y, train=True), g_key)

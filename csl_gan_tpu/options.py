@@ -270,6 +270,18 @@ def build_parser() -> argparse.ArgumentParser:
                              "propagates activation shardings and inserts "
                              "the collectives (parallel/mesh.py state_spec)."
                              " Composes with --fsdp on the data axis.")
+    parser.add_argument("--ref_pixel_shuffle", type=str2bool, default=False,
+                        help="Reference-checkpoint interop: use the "
+                             "reference's cat-x4 + pixel_shuffle upsampling "
+                             "in the DCResNet G (reference "
+                             "DCResNet_models.py:13-17), which applies a "
+                             "phase-dependent CHANNEL PERMUTATION rather "
+                             "than clean nearest-neighbor upsampling. "
+                             "Checkpoints converted by "
+                             "convert_reference_checkpoint.py set this in "
+                             "their opt.txt so G outputs are functionally "
+                             "exact; fresh training keeps the clean (and "
+                             "faster, phase-fused) upsampling.")
     parser.add_argument("--per_sample_chunk", type=int, default=None,
                         help="Chunk size for lax.scan-accumulated per-sample gradients "
                              "(bounds per-sample grad memory); None = whole batch vmap.")

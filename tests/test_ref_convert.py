@@ -1,0 +1,235 @@
+"""Reference-checkpoint converter parity tests.
+
+Builds the REFERENCE torch models (imported from /root/reference with its
+uninstallable deps stubbed), saves reference-format torch checkpoints, runs
+convert_reference_checkpoint.py, and checks that this framework's models
+produce the SAME outputs from the converted weights — including the
+DCResNet G's channel-scrambling pixel-shuffle upsampling (ref_pixel_shuffle
+path) and the NCHW->NHWC flatten permutations in the D heads. Also drives
+temp_file.py and gensamples.py on a converted directory (VERDICT round-2
+item 4's done-criterion).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference checkout not available")
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """Import the reference model modules with opacus/torchvision stubbed
+    (they are not installed here; only nn.Module definitions are needed)."""
+    for name in ("opacus", "opacus.utils", "opacus.utils.uniform_sampler",
+                 "torchvision"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    us = sys.modules["opacus.utils.uniform_sampler"]
+    if not hasattr(us, "UniformWithReplacementSampler"):
+        us.UniformWithReplacementSampler = object
+    tv = sys.modules["torchvision"]
+    for attr in ("transforms", "datasets"):
+        if not hasattr(tv, attr):
+            setattr(tv, attr, types.ModuleType(f"torchvision.{attr}"))
+    if REF not in sys.path:
+        sys.path.append(REF)
+    import MNIST_models  # noqa: F401  (registers models/DCResNet too)
+    import DCResNet_models
+    import models
+    return types.SimpleNamespace(mnist=sys.modules["MNIST_models"],
+                                 dcrn=DCResNet_models, base=models)
+
+
+def _save_ref_dir(tmp_path, opt, g_torch, d_torch, label=1, epoch=0,
+                  with_adam=True):
+    """Write a reference-format output dir: opt.txt + saves/{G,D}-label."""
+    from csl_gan_tpu import options
+    ref_dir = tmp_path / "refout"
+    (ref_dir / "saves").mkdir(parents=True, exist_ok=True)
+    options.save_opt(opt, str(ref_dir / "opt.txt"))
+
+    def save(model, path):
+        opt_state = {}
+        if with_adam:
+            ada = torch.optim.Adam(model.parameters(), lr=1e-3)
+            # One real step so exp_avg/exp_avg_sq are nonzero.
+            z = torch.randn(2, getattr(model, "z_dim", 8))
+            if hasattr(model, "z_dim"):
+                y = torch.arange(2) % max(1, model.n_classes)
+                out = model(z, y if model.n_classes > 1 else None)
+                loss = out.float().square().mean()
+            else:
+                shape = (2,) + _d_input_shape(opt)
+                x = torch.randn(*shape)
+                y = torch.arange(2) % max(1, model.n_classes)
+                out, aux = model(x, y if model.n_classes > 1 else None)
+                loss = out.float().square().mean()
+                if aux is not None:
+                    loss = loss + aux.float().square().mean()
+            loss.backward()
+            ada.step()
+            opt_state = ada.state_dict()
+        torch.save({"epoch": epoch, "model_state_dict": model.state_dict(),
+                    "optimizer_state_dict": opt_state, "loss": 0.0}, path)
+
+    save(g_torch, str(ref_dir / "saves" / f"G-{label}"))
+    save(d_torch, str(ref_dir / "saves" / f"D-{label}"))
+    return str(ref_dir)
+
+
+def _d_input_shape(opt):
+    if opt.dataset == "MNIST":
+        return (1, 28, 28)
+    return (3, opt.im_size, opt.im_size)
+
+
+def _convert(ref_dir, tmp_path):
+    import convert_reference_checkpoint as crc
+    out_dir = str(tmp_path / "converted")
+    crc.main([ref_dir, "-o", out_dir])
+    return out_dir
+
+
+def _load_converted(out_dir, label=1):
+    from csl_gan_tpu import options
+    from csl_gan_tpu.models.registry import init_models
+    from csl_gan_tpu.training import checkpoint
+    from csl_gan_tpu.training.steps import TrainStepBuilder
+    opt2 = options.load_opt(os.path.join(out_dir, "opt.txt"))
+    (G, Gv), (D, Dv) = init_models(opt2, abstract=True)
+    builder = TrainStepBuilder(opt2, G, D)
+    state = builder.init_state(Gv, Dv)
+    state, _ = checkpoint.load_g(os.path.join(out_dir, f"saves/G-{label}"),
+                                 state)
+    state, _, acc = checkpoint.load_d(os.path.join(out_dir,
+                                                   f"saves/D-{label}"), state)
+    return opt2, G, D, builder, state, acc
+
+
+def _compare(opt, G, D, state, g_torch, d_torch, n_classes, z_dim,
+             tol=2e-4):
+    b = 4
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(b, z_dim)).astype(np.float32)
+    y = (np.arange(b) % max(1, n_classes)).astype(np.int64)
+    x = rng.uniform(-1, 1, size=(b,) + _d_input_shape(opt)).astype(np.float32)
+
+    g_torch.eval()
+    d_torch.eval()
+    with torch.no_grad():
+        ty = torch.from_numpy(y) if n_classes > 1 else None
+        t_img = g_torch(torch.from_numpy(z), ty).numpy()
+        t_out, t_aux = d_torch(torch.from_numpy(x), ty)
+
+    variables = {"params": state.g_params}
+    if state.g_batch_stats:
+        variables["batch_stats"] = state.g_batch_stats
+    j_img = np.asarray(G.apply(variables, z,
+                               y if n_classes > 1 else None, train=False))
+    np.testing.assert_allclose(j_img, t_img.transpose(0, 2, 3, 1),
+                               atol=tol, rtol=tol)
+
+    j_out, j_aux = D.apply({"params": state.d_params},
+                           x.transpose(0, 2, 3, 1),
+                           y if n_classes > 1 else None)
+    np.testing.assert_allclose(np.asarray(j_out).reshape(-1),
+                               t_out.numpy().reshape(-1), atol=tol, rtol=tol)
+    if t_aux is not None:
+        np.testing.assert_allclose(np.asarray(j_aux), t_aux.numpy(),
+                                   atol=tol, rtol=tol)
+
+
+def test_vanilla_acgan_roundtrip(tmp_path, ref_models):
+    from csl_gan_tpu import options
+    torch.manual_seed(0)
+    opt = options.parse(["MNIST", "--conditional", "-o", str(tmp_path / "o"),
+                         "--manual_seed", "3", "-tss", "100"])
+    g = ref_models.mnist.MNISTVanillaG(z_dim=opt.g_latent_dim,
+                                       n_classes=opt.n_classes)
+    d = ref_models.mnist.MNISTVanillaD(n_classes=opt.n_classes,
+                                       conditional_arch="ACGAN",
+                                       aux_loss_type="cross_entropy")
+    ref_dir = _save_ref_dir(tmp_path, opt, g, d)
+    out_dir = _convert(ref_dir, tmp_path)
+    opt2, G, D, builder, state, _acc = _load_converted(out_dir)
+    _compare(opt2, G, D, state, g, d, opt.n_classes, opt.g_latent_dim)
+
+    # Adam moments came across: nonzero mu somewhere, count == 1.
+    import jax
+    from flax import serialization
+    sd = serialization.to_state_dict(state.g_opt_state)
+    adam = next(v for v in sd.values()
+                if isinstance(v, dict) and "mu" in v)
+    assert int(adam["count"]) == 1
+    assert any(float(np.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(adam["mu"]))
+
+    # End-to-end tools on the converted dir (done-criterion).
+    import temp_file
+    import gensamples
+    temp_file.main([out_dir, "-e", "1"])
+    gensamples.main([out_dir, "-e", "1", "-n", "3", "-bs", "3"])
+    assert len(os.listdir(os.path.join(out_dir, "G-1-samples"))) == 3
+
+
+def test_dcrn_groupnorm_acgan_roundtrip(tmp_path, ref_models):
+    """MNIST DCResNet preset under DP (GroupNorm variant): covers the
+    pixel-shuffle-scramble G path, conv layout transforms, and the D-head
+    flatten permutation."""
+    from csl_gan_tpu import options
+    torch.manual_seed(1)
+    opt = options.parse(["MNIST", "--model", "DeepConvResNet",
+                         "--conditional", "-dpm", "gc", "-o",
+                         str(tmp_path / "o"), "--manual_seed", "3",
+                         "-tss", "100"])
+    g = ref_models.mnist.MNIST_DCRN_G(z_dim=opt.g_latent_dim, bn=False,
+                                      n_classes=opt.n_classes)
+    d = ref_models.mnist.MNIST_DCRN_D(n_classes=opt.n_classes,
+                                      conditional_arch="ACGAN",
+                                      aux_loss_type=opt.aux_loss_type)
+    ref_dir = _save_ref_dir(tmp_path, opt, g, d, with_adam=False)
+    out_dir = _convert(ref_dir, tmp_path)
+    opt2, G, D, builder, state, acc = _load_converted(out_dir)
+    assert bool(getattr(opt2, "ref_pixel_shuffle", False))
+    # DP config: the converter reconstructs accountant state
+    # (steps = label * batches/epoch).
+    assert acc is not None and \
+        acc["steps"] == max(1, opt.train_set_size // opt.batch_size)
+    _compare(opt2, G, D, state, g, d, opt.n_classes, opt.g_latent_dim)
+
+
+def test_dcrn_batchnorm_wcgan_roundtrip(tmp_path, ref_models):
+    """Non-DP BN variant (running-stats conversion) + WCGAN D (no linOut,
+    concat planes)."""
+    from csl_gan_tpu import options
+    torch.manual_seed(2)
+    opt = options.parse(["MNIST", "--model", "DeepConvResNet",
+                         "--conditional", "--conditional_arch", "WCGAN", "-o",
+                         str(tmp_path / "o"), "--manual_seed", "3",
+                         "-tss", "100"])
+    g = ref_models.mnist.MNIST_DCRN_G(z_dim=opt.g_latent_dim, bn=True,
+                                      n_classes=opt.n_classes)
+    d = ref_models.mnist.MNIST_DCRN_D(n_classes=opt.n_classes,
+                                      conditional_arch="WCGAN",
+                                      aux_loss_type=opt.aux_loss_type)
+    # Populate BN running stats with a few train-mode passes.
+    g.train()
+    with torch.no_grad():
+        for _ in range(3):
+            g(torch.randn(8, opt.g_latent_dim), torch.arange(8) % opt.n_classes)
+    ref_dir = _save_ref_dir(tmp_path, opt, g, d, with_adam=False)
+    out_dir = _convert(ref_dir, tmp_path)
+    opt2, G, D, builder, state, _acc = _load_converted(out_dir)
+    # Running stats actually moved and came across.
+    import jax
+    stats = jax.tree_util.tree_leaves(state.g_batch_stats)
+    assert any(float(np.abs(np.asarray(s)).max()) > 1e-6 for s in stats)
+    _compare(opt2, G, D, state, g, d, opt.n_classes, opt.g_latent_dim)
