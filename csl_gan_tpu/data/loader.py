@@ -145,11 +145,15 @@ def init_data(opt):
 
     dataset = public_dataset = None
     if opt.dataset == "MNIST":
-        images, labels = mnist_mod.load_mnist(opt.data_path, train=True)
+        dl = bool(getattr(opt, "download_mnist", False))
+        images, labels = mnist_mod.load_mnist(opt.data_path, train=True,
+                                              download=dl)
         images, labels = mnist_mod.stratified_subset(images, labels, opt.train_set_size)
         dataset = ArrayDataset(images, labels)
         if opt.public_set_size > 0:
-            pub_images, pub_labels = mnist_mod.load_mnist(opt.data_path, train=False)
+            pub_images, pub_labels = mnist_mod.load_mnist(opt.data_path,
+                                                          train=False,
+                                                          download=dl)
             public_dataset = ArrayDataset(pub_images, pub_labels)
     elif opt.dataset == "CelebA":
         dataset = celeba_mod.CelebADataset(

@@ -72,9 +72,54 @@ def synthetic_mnist(n: int = 60000, seed: int = 0) -> Tuple[np.ndarray, np.ndarr
     return imgs, labels.astype(np.int64)
 
 
-def load_mnist(data_path: str, train: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+# Canonical MNIST mirrors (torchvision's list, reference init_util.py:16-18
+# downloads via torchvision when --download_mnist is set).
+_MIRRORS = (
+    "https://ossci-datasets.s3.amazonaws.com/mnist/",
+    "http://yann.lecun.com/exdb/mnist/",
+)
+
+
+def download_mnist(data_path: str) -> str:
+    """Fetch the four IDX .gz files into <data_path>/MNIST/raw (the
+    torchvision layout). Raises RuntimeError with a clear message when the
+    network is unreachable — an explicit --download_mnist request must not
+    silently fall back to synthetic data."""
+    import urllib.error
+    import urllib.request
+
+    raw = os.path.join(data_path or ".", "MNIST", "raw")
+    os.makedirs(raw, exist_ok=True)
+    names = [n + ".gz" for pair in _RAW_NAMES.values() for n in pair]
+    errors = []
+    for name in names:
+        dst = os.path.join(raw, name)
+        if os.path.exists(dst) or os.path.exists(dst[:-3]):
+            continue
+        done = False
+        for mirror in _MIRRORS:
+            try:
+                urllib.request.urlretrieve(mirror + name, dst)
+                done = True
+                break
+            except (urllib.error.URLError, OSError, ValueError) as e:
+                errors.append(f"{mirror + name}: {e}")
+        if not done:
+            raise RuntimeError(
+                "--download_mnist: could not fetch MNIST (no network "
+                "access?); tried:\n  " + "\n  ".join(errors) +
+                f"\nPlace the IDX files under {raw} manually, or drop "
+                "--download_mnist to use the synthetic fallback.")
+    return raw
+
+
+def load_mnist(data_path: str, train: bool = True,
+               download: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """(images [N,28,28,1] float32 0..1, labels [N] int64)."""
     raw = _find_raw_dir(data_path) if data_path else None
+    if raw is None and download:
+        download_mnist(data_path or ".")
+        raw = _find_raw_dir(data_path)
     if raw is None:
         print(f"[csl_gan_tpu] MNIST not found under {data_path!r}; "
               "using deterministic synthetic MNIST.")

@@ -177,3 +177,48 @@ def test_array_dataset_transform():
     loader = Loader(ds, batch_size=2, shuffle=False)
     xb, yb = loader.one_batch()
     assert xb.dtype == np.float32 and xb.shape == (2, 4, 4, 3)
+
+
+def test_download_mnist_offline_fails_clearly(tmp_path, monkeypatch):
+    """--download_mnist with no network must raise a clear error, NOT fall
+    back to synthetic data (the user explicitly asked for the real set);
+    reference init_util.py:16-18 downloads via torchvision."""
+    import urllib.request
+    import pytest
+
+    def no_net(url, dst=None, *a, **k):
+        raise OSError("network unreachable (test)")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", no_net)
+    with pytest.raises(RuntimeError, match="download_mnist"):
+        mnist_mod.load_mnist(str(tmp_path), train=True, download=True)
+
+
+def test_download_mnist_fetches_idx_files(tmp_path, monkeypatch):
+    """With a (mocked) reachable mirror the IDX files land in the
+    torchvision layout and parse."""
+    import gzip
+    import struct
+    import urllib.request
+
+    def fake_fetch(url, dst):
+        name = url.rsplit("/", 1)[1]
+        n = 4
+        if "images" in name:
+            payload = struct.pack(">IIII", 0x00000803, n, 28, 28) + \
+                bytes(n * 28 * 28)
+        else:
+            payload = struct.pack(">II", 0x00000801, n) + bytes(range(n))
+        with gzip.open(dst, "wb") as f:
+            f.write(payload)
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_fetch)
+    imgs, labels = mnist_mod.load_mnist(str(tmp_path), train=True,
+                                        download=True)
+    assert imgs.shape == (4, 28, 28, 1)
+    assert list(labels) == [0, 1, 2, 3]
+    # Files persisted in torchvision's layout; a second load needs no net.
+    monkeypatch.setattr(urllib.request, "urlretrieve",
+                        lambda *a, **k: (_ for _ in ()).throw(OSError("no")))
+    imgs2, _ = mnist_mod.load_mnist(str(tmp_path), train=True)
+    assert imgs2.shape == (4, 28, 28, 1)
