@@ -117,6 +117,11 @@ def _compute_rdp_order(q: float, sigma: float, alpha: float) -> float:
         return 0.0
     if sigma == 0:
         return np.inf
+    if q > 1.0:
+        raise ValueError(
+            f"sampling rate q={q} > 1 (batch_size exceeds sample_size); "
+            "the sampled-Gaussian RDP bound is undefined. Fix the config "
+            "(options.py rejects batch_size > train_set_size at parse time).")
     if q == 1.0:
         return alpha / (2 * sigma ** 2)
     if np.isinf(alpha):

@@ -76,7 +76,8 @@ def main(argv=None):
     parser.add_argument("-e", "--epochs", type=int, default=None)
     parser.add_argument("-ei", "--epoch_interval", type=int, default=100)
     parser.add_argument("-bs", "--batch_size", type=int, default=50)
-    parser.add_argument("-d", "--device", type=str, default=None)
+    parser.add_argument("-d", "--device", type=str, default=None,
+                        help="JAX platform override (cpu/tpu); the reference's CUDA-device flag mapped to the TPU-native notion. Defaults to the run's saved --platform.")
     parser.add_argument("-c", "--classifiers", type=str, default=["lr"],
                         nargs="*", choices=CLASSIFIERS)
     parser.add_argument("-n", "--num_samples", type=int, default=10000)
@@ -84,6 +85,9 @@ def main(argv=None):
 
     path = options.add_slash(args.path)
     train_opt = options.load_opt(path + "opt.txt")
+    if args.device:
+        train_opt.platform = args.device
+    options.apply_platform(train_opt)
     if train_opt.dataset != "MNIST":
         raise Exception("Downstream evaluation only implemented for MNIST.")
 

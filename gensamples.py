@@ -29,7 +29,8 @@ def main(argv=None):
     parser.add_argument("-e", "--epochs", type=int, default=-1)
     parser.add_argument("-n", "--num_samples", type=int, default=100)
     parser.add_argument("-bs", "--batch_size", type=int, default=50)
-    parser.add_argument("-d", "--device", type=str, default=None)
+    parser.add_argument("-d", "--device", type=str, default=None,
+                        help="JAX platform override (cpu/tpu); the reference's CUDA-device flag mapped to the TPU-native notion. Defaults to the run's saved --platform.")
     args = parser.parse_args(argv)
 
     from csl_gan_tpu.utils.misc import enable_compilation_cache
@@ -40,6 +41,9 @@ def main(argv=None):
     os.makedirs(output_dir, exist_ok=True)
 
     train_opt = options.load_opt(path + "opt.txt")
+    if args.device:
+        train_opt.platform = args.device
+    options.apply_platform(train_opt)
     # abstract: checkpoint loading replaces every leaf, so real weight init
     # is pure waste (and slow over the TPU relay).
     (G, G_vars), (D, D_vars) = init_models(train_opt, abstract=True)

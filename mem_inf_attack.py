@@ -108,6 +108,7 @@ def main(argv=None):
 
     model_path = os.path.join(args.model_dir, args.model_name)
     opt = csl_options.load_opt(os.path.join(model_path, "opt.txt"))
+    csl_options.apply_platform(opt)
     if args.data_dir:
         opt.data_path = csl_options.add_slash(args.data_dir)
     if args.labels_dir:

@@ -20,11 +20,15 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("path", type=str, help="Path to the output folder")
     parser.add_argument("-e", "--epochs", type=int, default=-1)
-    parser.add_argument("-d", "--device", type=str, default=None)
+    parser.add_argument("-d", "--device", type=str, default=None,
+                        help="JAX platform override (cpu/tpu); the reference's CUDA-device flag mapped to the TPU-native notion. Defaults to the run's saved --platform.")
     args = parser.parse_args(argv)
 
     path = options.add_slash(args.path)
     train_opt = options.load_opt(path + "opt.txt")
+    if args.device:
+        train_opt.platform = args.device
+    options.apply_platform(train_opt)
 
     # abstract: the G/D checkpoints replace every leaf below.
     (G, G_vars), (D, D_vars) = init_models(train_opt, abstract=True)

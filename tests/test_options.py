@@ -107,3 +107,39 @@ def test_fill_defaults_none_false_quirk(tmp_path):
     ns = Namespace(a=None, b=False, c=0, d="set")
     options.fill_defaults(ns, {"a": 1, "b": 2, "c": 3, "d": 4})
     assert (ns.a, ns.b, ns.c, ns.d) == (1, 2, 0, "set")
+
+
+def test_tm_sens_compute_bs_not_silently_ignored(tmp_path, capsys):
+    """Every reference flag either works or announces itself (VERDICT
+    round-2 missing #3): --tm_sens_compute_bs prints a parity notice."""
+    parse(tmp_path, "MNIST", "-dpm", "tm", "--tm_sens_compute_bs", "32")
+    assert "tm_sens_compute_bs" in capsys.readouterr().out
+
+
+def test_single_class_conditional_embed_accepted(tmp_path):
+    """The reference only rejects embed-for-D when n_classes > 1
+    (models.py:32-34: the raise sits inside the `if n_classes > 1` block);
+    a single-class conditional config must validate. n_classes has no CLI
+    flag (per-dataset default only, like the reference), so the case arises
+    via an edited/loaded opt.txt — exercise the validator directly."""
+    opt = parse(tmp_path, "MNIST", "--conditional", "--model",
+                "DeepConvResNet")
+    opt.n_classes = 1
+    opt.d_label_emb_mode = "embed"
+    opt.g_label_emb_mode = "concat"
+    options.derive_and_validate(opt)  # must not raise
+    opt.n_classes = 10
+    with pytest.raises(Exception, match="Embed for D"):
+        options.derive_and_validate(opt)
+
+
+def test_batch_size_exceeding_train_set_rejected(tmp_path):
+    """bs > tss means zero full batches per epoch (silent no-op training)
+    and an undefined DP sampling rate q > 1 — must fail at config time.
+    Found by a verify drive: `-tss 500` with MNIST's default bs=600 trained
+    nothing and budget_analysis crashed with a math domain error."""
+    with pytest.raises(Exception, match="exceeds train_set_size"):
+        parse(tmp_path, "MNIST", "-tss", "500", "-dpm", "gc")
+    with pytest.raises(Exception, match="exceeds train_set_size"):
+        parse(tmp_path, "MNIST", "-tss", "500")  # non-DP: still 0 batches
+    parse(tmp_path, "MNIST", "-tss", "600")  # boundary: exactly 1 batch ok

@@ -125,3 +125,13 @@ def test_mean_sampler_accounting_formula():
     r = rdp.compute_rdp(5000 / 60000, noise_std / l2_sens, 10, rdp.DEFAULT_ALPHAS)
     eps, _ = rdp.get_privacy_spent(rdp.DEFAULT_ALPHAS, r, 1e-5)
     assert np.isfinite(eps) and eps > 0
+
+
+def test_sampling_rate_above_one_rejected():
+    """q > 1 is undefined for the sampled-Gaussian bound; the old code died
+    deep inside the fractional-alpha series with a bare math domain error
+    (found by a verify drive of budget_analysis.py on a bs>tss config)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="q=1.2"):
+        rdp.compute_rdp(1.2, 5.0, 1, rdp.DEFAULT_ALPHAS)

@@ -151,7 +151,7 @@ def test_vanilla_acgan_roundtrip(tmp_path, ref_models):
     from csl_gan_tpu import options
     torch.manual_seed(0)
     opt = options.parse(["MNIST", "--conditional", "-o", str(tmp_path / "o"),
-                         "--manual_seed", "3", "-tss", "100"])
+                         "--manual_seed", "3", "-tss", "100", "-bs", "50"])
     g = ref_models.mnist.MNISTVanillaG(z_dim=opt.g_latent_dim,
                                        n_classes=opt.n_classes)
     d = ref_models.mnist.MNISTVanillaD(n_classes=opt.n_classes,
@@ -189,7 +189,7 @@ def test_dcrn_groupnorm_acgan_roundtrip(tmp_path, ref_models):
     opt = options.parse(["MNIST", "--model", "DeepConvResNet",
                          "--conditional", "-dpm", "gc", "-o",
                          str(tmp_path / "o"), "--manual_seed", "3",
-                         "-tss", "100"])
+                         "-tss", "100", "-bs", "50"])
     g = ref_models.mnist.MNIST_DCRN_G(z_dim=opt.g_latent_dim, bn=False,
                                       n_classes=opt.n_classes)
     d = ref_models.mnist.MNIST_DCRN_D(n_classes=opt.n_classes,
@@ -214,7 +214,7 @@ def test_dcrn_batchnorm_wcgan_roundtrip(tmp_path, ref_models):
     opt = options.parse(["MNIST", "--model", "DeepConvResNet",
                          "--conditional", "--conditional_arch", "WCGAN", "-o",
                          str(tmp_path / "o"), "--manual_seed", "3",
-                         "-tss", "100"])
+                         "-tss", "100", "-bs", "50"])
     g = ref_models.mnist.MNIST_DCRN_G(z_dim=opt.g_latent_dim, bn=True,
                                       n_classes=opt.n_classes)
     d = ref_models.mnist.MNIST_DCRN_D(n_classes=opt.n_classes,

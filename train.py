@@ -15,9 +15,7 @@ from csl_gan_tpu.training.loop import run_training
 
 def main(argv=None):
     opt = options.parse(argv)
-    platform = getattr(opt, "platform", None)
-    if platform:
-        jax.config.update("jax_platforms", platform)
+    options.apply_platform(opt)
     if getattr(opt, "rbg", True):
         # XLA RngBitGenerator keys: 1.32x the MNIST DP epoch vs threefry
         # (the 6-way key split per scan step is launch-bound work;
