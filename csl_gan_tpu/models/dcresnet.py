@@ -20,9 +20,11 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 import jax
+from jax import lax
 
 from csl_gan_tpu.models.common import (TorchConv, TorchDense, one_hot,
                                        ref_pixel_shuffle_upsample_2x,
@@ -95,14 +97,18 @@ class _PhaseConv(nn.Module):
         m_lo = (0 - r) // 2
         m_hi = (1 + r) // 2
         mk = m_hi - m_lo + 1
-        k4 = jnp.zeros((mk, mk, cin, 2, 2, self.features), kernel.dtype)
+        # Static 0/1 tap-collapse map: amap[a, dy+r, p] = 1 iff full-res tap
+        # dy of phase a lands on low-res tap p. One einsum replaces the
+        # k^2 x 4 per-tap scatter-adds of the naive construction (which
+        # traced ~100 ops per conv call — dominating CelebA graph traces —
+        # and bloated the compiled graph the same way).
+        amap = np.zeros((2, k, mk), np.float32)
         for a in (0, 1):
-            for b in (0, 1):
-                for dy in range(-r, r + 1):
-                    for dx in range(-r, r + 1):
-                        k4 = k4.at[(a + dy) // 2 - m_lo,
-                                   (b + dx) // 2 - m_lo, :, a, b, :].add(
-                            kernel[dy + r, dx + r])
+            for dy in range(-r, r + 1):
+                amap[a, dy + r, (a + dy) // 2 - m_lo] = 1.0
+        amap = jnp.asarray(amap, kernel.dtype)
+        k4 = jnp.einsum("ayp,bxq,yxcf->pqcabf", amap, amap, kernel,
+                        precision=lax.Precision.HIGHEST)
         k4 = k4.reshape(mk, mk, cin, 4 * self.features)
 
         # Same dtype rule as nn.Conv/promote_dtype: with dtype=None, inputs
