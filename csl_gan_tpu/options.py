@@ -188,8 +188,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     parser.add_argument("--g_latent_dim", type=int, default=None)
     parser.add_argument("--n_d_steps", type=int, default=None)
-    parser.add_argument("--train_d_until_threshold", type=float, default=1e10,
-                        help="Skip G training until D adversarial loss is below this threshold.")
+    parser.add_argument("--train_d_until_threshold", type=float, default=None,
+                        help="Skip G training until D adversarial loss is below this threshold "
+                             "(default 1e10 = always train G). Unlike the reference, an "
+                             "explicit value is RESPECTED for DP DeepConvResNet configs "
+                             "instead of being force-overwritten to -1 (see RESULTS.md "
+                             "utility study: the forced -1 freezes G).")
     parser.add_argument("-cond", "--conditional", action="store_true", default=False)
     parser.add_argument("--g_label_emb_mode", type=str, choices=["embed", "concat"], default=None)
     parser.add_argument("--d_label_emb_mode", type=str, choices=["embed", "concat"], default=None)
@@ -395,9 +399,22 @@ def derive_and_validate(opt) -> None:
     if opt.conditional_arch == "WCGAN" and opt.aux_penalty:
         print("Setting aux_penalty to false due to using WCGAN.")
         opt.aux_penalty = False
+    # Reference train.py forces threshold=-1 for every DP DeepConvResNet run
+    # (never train G on a D-loss condition), which freezes G once the noised
+    # D can't reach the threshold (RESULTS.md utility study). Deviation: the
+    # force applies only when the user did NOT set a value, so the operating
+    # point is tunable from the CLI.
+    tdut_user_set = opt.train_d_until_threshold is not None
+    if not tdut_user_set:
+        opt.train_d_until_threshold = 1e10
     if opt.model == "DeepConvResNet" and opt.use_dp:
-        print("Setting train_d_until_threshold to -1, which is generally recommended for WGAN using DP")
-        opt.train_d_until_threshold = -1
+        if not tdut_user_set:
+            print("Setting train_d_until_threshold to -1, which is generally recommended for WGAN using DP")
+            opt.train_d_until_threshold = -1
+        else:
+            print(f"Keeping user-set train_d_until_threshold="
+                  f"{opt.train_d_until_threshold} (the reference would force "
+                  "-1 here; see RESULTS.md on why -1 can freeze G).")
     if opt.backprop_clip:
         print("Backpropagation clipping implementation is experimental.")
     if opt.tm_sens_compute_bs is not None:

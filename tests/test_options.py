@@ -143,3 +143,15 @@ def test_batch_size_exceeding_train_set_rejected(tmp_path):
     with pytest.raises(Exception, match="exceeds train_set_size"):
         parse(tmp_path, "MNIST", "-tss", "500")  # non-DP: still 0 batches
     parse(tmp_path, "MNIST", "-tss", "600")  # boundary: exactly 1 batch ok
+
+
+def test_dcresnet_dp_threshold_user_value_respected(tmp_path):
+    """Deviation from the reference (documented in RESULTS.md): an explicit
+    --train_d_until_threshold survives the DP-DCResNet force-to--1 so the
+    G-freeze operating point is tunable; the force applies only when the
+    flag is unset. Default elsewhere stays 1e10 (always train G)."""
+    opt = parse(tmp_path, "CelebA", "-dpm", "gc", "-nms", "1",
+                "--train_d_until_threshold", "-0.5")
+    assert opt.train_d_until_threshold == -0.5
+    opt = parse(tmp_path, "MNIST")
+    assert opt.train_d_until_threshold == 1e10
