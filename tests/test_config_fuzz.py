@@ -95,6 +95,9 @@ def _sample_argv(rng: random.Random):
         argv += ["-bpc", "true"]
     if rng.random() < 0.3:
         argv += ["--n_d_steps", "2", "--train_d_until_threshold", "0.5"]
+    if dpm and rng.random() < 0.15:
+        # Non-private warmup before DP training (loop.py warmup()).
+        argv += ["--warmup_iter", "2"]
     return argv
 
 
@@ -150,8 +153,10 @@ def _trace_config(argv, tmp_path, i):
         use_dp=opt.use_dp, mean_sample_fn=mean_fn if use_mean else None)
     jax.eval_shape(runner, state, key, images, labels, perm, start,
                    g_mask, zero, zero)
-    # Warmup runs the non-private path on dp configs (loop.py warmup()).
-    if opt.use_dp:
+    # The non-private path is reachable on DP configs only through warmup
+    # (loop.py warmup(): warmup_iter > 0, default 0) — tracing it for every
+    # DP config doubled the sweep cost for a path production never builds.
+    if opt.use_dp and (getattr(opt, "warmup_iter", 0) or 0) > 0:
         plain = builder.build_segment_runner(
             use_dp=False, mean_sample_fn=mean_fn if use_mean else None)
         jax.eval_shape(plain, state, key, images, labels, perm, start,
@@ -159,7 +164,11 @@ def _trace_config(argv, tmp_path, i):
     return "traced"
 
 
-N_DEFAULT = 40
+# 120 cases run by default (~3 min after the round-3 trace speedups:
+# phase-conv einsum collapse 3x, warmup-gated plain trace ~1.7x — the full
+# 200 measured 46:33 -> 8:21 -> ~5 min across those changes); RUN_SLOW
+# extends to the full 200.
+N_DEFAULT = 120
 N_SLOW = 200
 
 
