@@ -436,6 +436,17 @@ def derive_and_validate(opt) -> None:
             f"({opt.train_set_size}): every epoch would run zero batches "
             "(full batches only) and the DP sampling rate would exceed 1. "
             "Lower -bs or raise -tss.")
+    if opt.num_mean_samples > 0 and opt.mean_sample_size > opt.train_set_size:
+        # Same failure class for the mean sampler: its RDP subsampling rate
+        # is mean_sample_size / (smallest class size or dataset size), which
+        # is certainly > 1 here. (Class imbalance can still push it over 1
+        # at runtime; privacy/mean_sampler.get_privacy_cost raises a clear
+        # error there.)
+        raise Exception(
+            f"mean_sample_size ({opt.mean_sample_size}) exceeds "
+            f"train_set_size ({opt.train_set_size}): the mean-sampler "
+            "subsampling rate would exceed 1. Lower --mean_sample_size or "
+            "raise -tss.")
     if opt.imm_sens_per_param and not (opt.imm_sens_scaling_mode is None or opt.imm_sens_scaling_mode == "standard"):
         raise Exception("Calculating IS per parameter does not require per parameter scaling. "
                         "Scaling estimates per-parameter calculation.")

@@ -155,3 +155,12 @@ def test_dcresnet_dp_threshold_user_value_respected(tmp_path):
     assert opt.train_d_until_threshold == -0.5
     opt = parse(tmp_path, "MNIST")
     assert opt.train_d_until_threshold == 1e10
+
+
+def test_mean_sample_size_exceeding_train_set_rejected(tmp_path):
+    """Mean-sampler analogue of the bs > tss guard: q certainly exceeds 1."""
+    with pytest.raises(Exception, match="mean_sample_size"):
+        parse(tmp_path, "CelebA", "-dpm", "gc", "-nms", "1", "-tss", "500",
+              "-bs", "128")  # CelebA default mean_sample_size=1000 > 500
+    parse(tmp_path, "CelebA", "-dpm", "gc", "-nms", "1", "-tss", "500",
+          "-bs", "128", "--mean_sample_size", "10")

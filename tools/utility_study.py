@@ -36,7 +36,8 @@ def run_cell(out_dir, threshold, n_d_steps, args):
     import train as train_cli
     argv = ["CelebA", "--conditional", "-dpm", "gc", "--bf16", "true",
             "-tss", str(args.tss), "-ne", str(args.ne), "-bs", str(args.bs),
-            "-nms", "1", "--manual_seed", str(args.seed),
+            "-nms", "1", "--mean_sample_size", str(args.mean_sample_size),
+            "--manual_seed", str(args.seed),
             "--train_d_until_threshold", str(threshold),
             "--n_d_steps", str(n_d_steps),
             "--save_every", str(args.save_every),
@@ -100,6 +101,10 @@ def main(argv=None):
     p.add_argument("--bs", type=int, default=128)
     p.add_argument("--im_size", type=int, default=None)
     p.add_argument("--save_every", type=int, default=4)
+    p.add_argument("--mean_sample_size", type=int, default=None,
+                   help="Per-class mean-sample size; default scales to "
+                        "tss/40 (capped at the CelebA default 1000) so "
+                        "small smoke runs stay valid.")
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--fid_samples", type=int, default=2048)
     p.add_argument("--platform", type=str, default=None)
@@ -111,6 +116,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
+    if args.mean_sample_size is None:
+        args.mean_sample_size = max(1, min(1000, args.tss // 40))
 
     # Fixed real-image sample for FID (decoded once; synthetic fallback).
     from csl_gan_tpu import options as opt_mod
