@@ -2,9 +2,14 @@
 
 Times each piece of _d_step_gc in isolation (jitted separately): G forward,
 conv-ghost real pass, fake backward, WGAN-GP penalty grads, Adam update.
-Run on TPU: python tools/profile_celeba_step.py
+Run on TPU: python tools/profile_celeba_step.py [--bf16] [--trace DIR]
+
+--bf16 profiles the mixed-precision flagship; --trace DIR additionally wraps
+the full d_step in jax.profiler.trace (feed DIR to tools/xplane_summary.py
+for per-HLO device-time totals).
 """
 
+import argparse
 import os
 import sys
 import time
@@ -40,9 +45,16 @@ def main():
     from csl_gan_tpu.training import penalty as penalty_mod
     from csl_gan_tpu.models import losses
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="capture a jax.profiler trace of the full d_step")
+    args = ap.parse_args()
+
     b = 128
     opt = options.parse(["CelebA", "--conditional", "-dpm", "gc", "-bs",
                          str(b), "--manual_seed", "7", "-nms", "1",
+                         "--bf16", "true" if args.bf16 else "false",
                          "--mean_sample_size", "8", "-o", "/tmp/prof_celeba"])
     (G, Gv), (D, Dv) = init_models(opt)
     bld = TrainStepBuilder(opt, G, D)
@@ -60,7 +72,8 @@ def main():
     ghost = jax.jit(lambda p, x, y: conv_ghost.dcresnet_real_ghost(
         p, x, y, n_classes=2, arch="ACGAN", aux_type="wasserstein",
         aux_scalar=1.0, row_w=bld._row_weights(y), concat_planes=False,
-        max_norm=200.0, per_layer=False)[0])
+        max_norm=200.0, per_layer=False,
+        compute_dtype=bld.compute_dtype)[0])
     timeit("conv-ghost real pass", ghost, state.d_params, x, y)
 
     def fake_bwd(p, fake, y):
@@ -87,6 +100,15 @@ def main():
 
     gs = jax.jit(bld._g_step, donate_argnums=())
     timeit("g_step", gs, state, k)
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            out = None
+            for i in range(10):
+                out = full(state, x, y, x, y, x, y, k)
+            force(out)
+        print(f"trace written to {args.trace}; summarize with "
+              f"python tools/xplane_summary.py {args.trace}")
 
 
 if __name__ == "__main__":
