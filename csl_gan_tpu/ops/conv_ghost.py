@@ -72,6 +72,21 @@ def _patches(a, kh, kw, stride, pad, dtype=None):
         precision=_prec(dtype))
 
 
+def _ghost_order(s: int, k: int, o: int) -> bool:
+    """Roofline-aware order choice: per sample, ghost costs ~2*S^2*(K+O)
+    flops and ~12*S^2 bytes; direct costs ~2*S*K*O flops but WRITES AND
+    RE-READS the [K, O] per-sample gradient (~8*K*O bytes) — and the
+    flagship D step is bandwidth-bound (RESULTS.md: ~75% of HBM peak),
+    so each order is scored as max(flop_time, byte_time) with the TPU's
+    arithmetic intensity (~240 flop/byte at bf16 peak). Vs the pure-flops
+    rule this flips exactly the middle layers (e.g. CelebA conv2,
+    S=256 K=1600 O=128: 105 MB of per-sample-grad traffic avoided)."""
+    ai = 240.0
+    ghost_cost = max(2.0 * s * s * (k + o), ai * 12.0 * s * s)
+    direct_cost = max(2.0 * s * k * o, ai * 8.0 * k * o)
+    return ghost_cost < direct_cost
+
+
 def _conv_kernel_sq_norms(u, c, dtype=None):
     """Per-sample squared Frobenius norm of the conv kernel gradient, from
     unfolded patches u [B, H', W', K] and cotangents c [B, H', W', O].
@@ -90,18 +105,7 @@ def _conv_kernel_sq_norms(u, c, dtype=None):
     k, o = u.shape[3], c.shape[3]
     kw_e = dict(precision=_prec(dtype),
                 preferred_element_type=jnp.float32)
-    # Roofline-aware order choice: per sample, ghost costs ~2*S^2*(K+O)
-    # flops and ~12*S^2 bytes; direct costs ~2*S*K*O flops but WRITES AND
-    # RE-READS the [K, O] per-sample gradient (~8*K*O bytes) — and the
-    # flagship D step is bandwidth-bound (RESULTS.md: ~75% of HBM peak),
-    # so each order is scored as max(flop_time, byte_time) with the TPU's
-    # arithmetic intensity (~240 flop/byte at bf16 peak). Vs the pure-flops
-    # rule this flips exactly the middle layers (e.g. CelebA conv2,
-    # S=256 K=1600 O=128: 105 MB of per-sample-grad traffic avoided).
-    ai = 240.0
-    ghost_cost = max(2.0 * s * s * (k + o), ai * 12.0 * s * s)
-    direct_cost = max(2.0 * s * k * o, ai * 8.0 * k * o)
-    if ghost_cost < direct_cost:
+    if _ghost_order(s, k, o):
         # ghost order: <U U^T, C C^T> — cheaper when the spatial extent is
         # small relative to the kernel param count (deep layers). The Gram
         # matmuls flatten (H', W') -> S locally: a [B, S, S] batched matmul
@@ -267,6 +271,8 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
 
     # ---- per-sample per-leaf squared norms + weighted-sum closures,
     #      assembled in tree-leaf order via the params treedef ----
+    from csl_gan_tpu.ops import pallas_conv_ghost as pcg
+    use_pk = pcg.use_pallas()
     sq_by_path = {}
     sum_by_path = {}
     for li, name in enumerate(conv_names):
@@ -274,32 +280,52 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
         c_z = cots[li]
         kshape = d_params[name]["Conv_0"]["kernel"].shape
         kh, kw = kshape[:2]
-        # Unfolded patches, shared by the norms and (under bf16) the
-        # weighted sum — the bound is exact because both read the SAME
-        # u/c tensors.
-        # 4-D natural conv layouts throughout (no [B, S, K] flatten — see
-        # _conv_kernel_sq_norms on why the reshape costs relayout copies).
-        u = _patches(a_prev, kh, kw, stride, pad, dt)
-        c2 = c_z
-        sq_by_path[(name, "Conv_0", "kernel")] = _conv_kernel_sq_norms(
-            u, c2, dt)
+        s_sp = c_z.shape[1] * c_z.shape[2]
+        k_feat = kh * kw * a_prev.shape[-1]
+        if (use_pk and _ghost_order(s_sp, k_feat, c_z.shape[-1])
+                and pcg.supported(kshape)):
+            # Ghost-order layers on single-device TPU: Pallas kernels that
+            # never materialize the im2col patch tensor (the step's largest
+            # HLO — see ops/pallas_conv_ghost.py). Same bf16-operand /
+            # fp32-accumulation math as the einsum path below, so the
+            # _BF16_NORM_MARGIN rigor argument is unchanged.
+            hwio = (kshape[2] == a_prev.shape[-1])
+            assert hwio, f"unexpected kernel layout {kshape}"
+            phases = pcg.prepare_phases(a_prev, stride, pad)
+            sq_by_path[(name, "Conv_0", "kernel")] = pcg.ghost_sq_norms(
+                a_prev, c_z, kh, kw, stride, pad, phases=phases)
+            sum_by_path[(name, "Conv_0", "kernel")] = \
+                lambda w, a_prev=a_prev, c_z=c_z, kshape=kshape, \
+                phases=phases: \
+                pcg.weighted_kernel_grad(a_prev, c_z, w, kshape, stride,
+                                         pad, phases=phases)
+        else:
+            # Unfolded patches, shared by the norms and (under bf16) the
+            # weighted sum — the bound is exact because both read the SAME
+            # u/c tensors.
+            # 4-D natural conv layouts throughout (no [B, S, K] flatten —
+            # see _conv_kernel_sq_norms on why the reshape costs relayout
+            # copies).
+            u = _patches(a_prev, kh, kw, stride, pad, dt)
+            c2 = c_z
+            sq_by_path[(name, "Conv_0", "kernel")] = _conv_kernel_sq_norms(
+                u, c2, dt)
+            if dt is not None:
+                # fp32-OUTPUT einsum: a bf16 summed gradient would be
+                # rounded at the SUM's magnitude, breaking the clip bound.
+                sum_by_path[(name, "Conv_0", "kernel")] = \
+                    lambda w, u=u, c2=c2, kshape=kshape: \
+                    _conv_kernel_weighted_sum(u, c2, w, kshape, dt)
+            else:
+                # fp32: the conv vjp is exact (fp32 output) and faster than
+                # a HIGHEST-precision einsum.
+                def k_sum(w, vjp=vjps[li], c_z=c_z):
+                    _, gw = vjp(c_z * w[:, None, None, None])
+                    return gw
+
+                sum_by_path[(name, "Conv_0", "kernel")] = k_sum
         g_b = jnp.sum(c_z.astype(jnp.float32), axis=(1, 2))      # [B, O]
         sq_by_path[(name, "Conv_0", "bias")] = jnp.sum(g_b ** 2, axis=1)
-
-        if dt is not None:
-            # fp32-OUTPUT einsum: a bf16 summed gradient would be rounded
-            # at the SUM's magnitude, breaking the clip bound.
-            sum_by_path[(name, "Conv_0", "kernel")] = \
-                lambda w, u=u, c2=c2, kshape=kshape: \
-                _conv_kernel_weighted_sum(u, c2, w, kshape, dt)
-        else:
-            # fp32: the conv vjp is exact (fp32 output) and faster than a
-            # HIGHEST-precision einsum.
-            def k_sum(w, vjp=vjps[li], c_z=c_z):
-                _, gw = vjp(c_z * w[:, None, None, None])
-                return gw
-
-            sum_by_path[(name, "Conv_0", "kernel")] = k_sum
         sum_by_path[(name, "Conv_0", "bias")] = \
             lambda w, g_b=g_b: jnp.sum(g_b * w[:, None], axis=0)
 

@@ -99,6 +99,33 @@ def test_groupnorm_fused_matches_fallback():
         pgn.FORCE = old_force
 
 
+def test_conv_ghost_kernels_match_xla():
+    """Real-TPU (compiled Mosaic) run of the conv-ghost Pallas kernels
+    (ops/pallas_conv_ghost.py) on the CelebA flagship ghost-order layer
+    shapes, bf16, against the XLA im2col formulation. The conv2 wsum shape
+    also regression-pins the scoped-VMEM budget (its unrolled δ-pair stack
+    OOMed Mosaic's 16 MB default)."""
+    from csl_gan_tpu.ops import conv_ghost as cg
+    from csl_gan_tpu.ops import pallas_conv_ghost as pcg
+    k_sz, st, pad = 5, 2, 2
+    for (B, H, C, O) in [(128, 32, 64, 128), (128, 16, 128, 256)]:
+        ka, kc, kw_ = jax.random.split(jax.random.PRNGKey(0), 3)
+        a = jax.random.normal(ka, (B, H, H, C)).astype(jnp.bfloat16)
+        Ho = (H + 2 * pad - k_sz) // st + 1
+        c = jax.random.normal(kc, (B, Ho, Ho, O)).astype(jnp.bfloat16)
+        w = jax.random.uniform(kw_, (B,), minval=0.1, maxval=1.0)
+        got_n = pcg.ghost_sq_norms(a, c, k_sz, k_sz, st, pad)
+        got_w = pcg.weighted_kernel_grad(a, c, w, (k_sz, k_sz, C, O), st, pad)
+        u = cg._patches(a, k_sz, k_sz, st, pad, jnp.bfloat16)
+        want_n = cg._conv_kernel_sq_norms(u, c, jnp.bfloat16)
+        want_w = cg._conv_kernel_weighted_sum(u, c, w, (k_sz, k_sz, C, O),
+                                              jnp.bfloat16)
+        for got, want in [(got_n, want_n), (got_w, want_w)]:
+            got, want = np.asarray(got), np.asarray(want)
+            rel = np.abs(got - want).max() / max(1e-9, np.abs(want).max())
+            assert rel < 1e-5, (B, H, C, O, rel)
+
+
 if __name__ == "__main__":
     # Standalone TPU driver (bypasses the CPU-pinning conftest).
     test_weighted_sum_exact()
@@ -106,4 +133,5 @@ if __name__ == "__main__":
     test_seed_independence()
     test_leaf_padding()
     test_groupnorm_fused_matches_fallback()
+    test_conv_ghost_kernels_match_xla()
     print("pallas kernel tests: all OK on", jax.devices())
