@@ -48,24 +48,37 @@ def run_cell(out_dir, threshold, n_d_steps, args):
         argv += ["--im_size", str(args.im_size)]
     if args.platform:
         argv += ["--platform", args.platform]
+    if os.path.exists(os.path.join(out_dir, "saves", f"G-{args.ne}")):
+        print(f"  (training already complete in {out_dir}, skipping)")
+        return
     train_cli.main(argv)
 
 
 def eval_cell(out_dir, args, real_images):
     """[(epoch, g_updates, pixel_fid)] for every saved G checkpoint."""
     import jax
+    import jax.numpy as jnp
 
     from csl_gan_tpu import options
     from csl_gan_tpu.models.registry import init_models
     from csl_gan_tpu.tools import fid as fid_mod
     from csl_gan_tpu.training import checkpoint
     from csl_gan_tpu.training.steps import TrainStepBuilder
-    from csl_gan_tpu.utils.images import denorm_celeba
 
     opt = options.load_opt(os.path.join(out_dir, "opt.txt"))
     (G, _gv), (D, _dv) = init_models(opt, abstract=True)
     builder = TrainStepBuilder(opt, G, D)
     base_state = builder.init_state(_gv, _dv)
+
+    # Denorm to uint8 ON DEVICE before readback: the tunnel moves
+    # ~40 MB/s, so the f32 [2048,64,64,3] sample tensor alone was
+    # ~2.5 min per checkpoint; uint8 is 4x less and matches the
+    # quantization a PNG-file FID pipeline sees anyway.
+    @jax.jit
+    def _sample_u8(state, z, y):
+        im = builder.sample_images(state, z, y)       # [-1, 1]
+        return jnp.clip(jnp.round((im + 1.0) * 127.5),
+                        0, 255).astype(jnp.uint8)
 
     rows = []
     for e in sorted(int(f.split("-")[1])
@@ -82,9 +95,8 @@ def eval_cell(out_dir, args, real_images):
             kz, ky, key = jax.random.split(jax.random.fold_in(key, i), 3)
             z = builder.gen_z(kz, bs)
             y = builder.gen_y(ky, bs)
-            im = np.asarray(jax.device_get(
-                builder.sample_images(state, z, y)))
-            imgs.append(denorm_celeba(im))
+            im = np.asarray(jax.device_get(_sample_u8(state, z, y)))
+            imgs.append(im.astype(np.float32) / 255.0)
         fake = np.concatenate(imgs)[:args.fid_samples]
         dist, label = fid_mod.calculate_fid(fake, real_images)
         rows.append((e, g_updates, dist))
@@ -131,6 +143,8 @@ def main(argv=None):
                                           replace=False)
     real = np.stack([ds[i][0] for i in idx])
     real = denorm_celeba(real)
+    # match the fake samples' on-device uint8 quantization (see _sample_u8)
+    real = np.round(real * 255.0) / 255.0
 
     results = []
     for t in args.thresholds:
