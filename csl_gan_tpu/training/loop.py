@@ -19,6 +19,8 @@ import csv
 import glob
 import os
 import shutil
+import signal
+import threading
 from typing import Optional
 
 import jax
@@ -781,11 +783,32 @@ class Trainer:
             self.state = self.builder.reset_optimizers(self.state)
 
     def run(self) -> int:
-        """Full training (train.py:553-603). Returns the last epoch index."""
+        """Full training (train.py:553-603). Returns the last epoch index.
+
+        Preemption-safe: SIGTERM (the signal batch schedulers send before a
+        kill) requests a graceful stop — the current epoch group finishes,
+        a full checkpoint (params, optimizer, accountant, clipping state)
+        is written through the normal exit path, and the process exits 0;
+        `--resume_path` continues from it with correct cumulative epsilon.
+        The reference has no equivalent (a preempted run loses the
+        accountant entirely — reference train.py keeps it in memory only).
+        Under --multihost the scheduler must deliver the signal to every
+        process (the usual SLURM/k8s behavior); a single-process signal
+        would desynchronize the collective in _save.
+        """
         opt = self.opt
         print("\nStarting training...\n")
         self.logger.reset_stats()
         self.warmup()
+
+        self._preempted = threading.Event()
+        prev_handler = None
+        if threading.current_thread() is threading.main_thread():
+            def _on_sigterm(signum, frame):
+                print("SIGTERM: finishing the current epoch group, then "
+                      "checkpointing and exiting.", flush=True)
+                self._preempted.set()
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
 
         profile_ctx = None
         if opt_get(opt, "profile_training", False):
@@ -867,10 +890,17 @@ class Trainer:
                     epoch = e
                     if stop:
                         break
+                if self._preempted.is_set():
+                    print(f"Preempted after epoch {epoch}; saving and "
+                          f"exiting (resume with --resume_path).",
+                          flush=True)
+                    stop = True
                 if stop:
                     break
                 next_e = epoch + 1
         finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
             if profile_ctx is not None:
                 jax.profiler.stop_trace()
                 print("Profile trace written to", profile_ctx)
