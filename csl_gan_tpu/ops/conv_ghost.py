@@ -272,7 +272,7 @@ def dcresnet_real_ghost(d_params, x, y: Optional[jnp.ndarray],
     # ---- per-sample per-leaf squared norms + weighted-sum closures,
     #      assembled in tree-leaf order via the params treedef ----
     from csl_gan_tpu.ops import pallas_conv_ghost as pcg
-    use_pk = pcg.use_pallas()
+    use_pk = pcg.use_pallas(dt)
     sq_by_path = {}
     sum_by_path = {}
     for li, name in enumerate(conv_names):

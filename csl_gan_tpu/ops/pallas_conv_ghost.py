@@ -48,7 +48,8 @@ and the kernels are the platform for future layout work (passing
 physically-matching logical transposes would make the boundary copies
 bitcasts).
 
-Used by ops/conv_ghost.py when `use_pallas()` (TPU backend, single device —
+Used by ops/conv_ghost.py when `use_pallas(dt)` (TPU backend, single device,
+bf16 compute —
 under GSPMD sharding a pallas_call would force a gather; multi-chip uses
 the XLA path). CPU equivalence tests run in interpret mode
 (tests/test_pallas_conv_ghost.py); real-TPU checks in tests/test_pallas.py.
@@ -80,10 +81,20 @@ _IN_BLOCK_BYTES = 4 * 1024 * 1024
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def use_pallas() -> bool:
+def use_pallas(compute_dtype=None) -> bool:
+    """Auto-dispatch gate: single-device TPU AND bf16 compute only.
+
+    The kernels' Gram/product dots are written for bf16 operands (MXU fast
+    path, fp32 accumulation). With fp32 operands they LOSE badly: the full
+    fp32 flagship d_step measured 39.7 ms with the kernels vs 23.7 ms on
+    the XLA im2col path (A/B with fresh closures + clear_caches, v5e-1),
+    because fp32 dots run the MXU at a fraction of bf16 rate while the
+    fp32 XLA path gets the conv-vjp weighted sum for free. FORCE overrides
+    everything (tests)."""
     if FORCE is not None:
         return bool(FORCE)
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return (compute_dtype is not None
+            and jax.default_backend() == "tpu" and jax.device_count() == 1)
 
 
 # The weighted-sum kernel holds the full [kh*kw*cin, cout] fp32 gradient
