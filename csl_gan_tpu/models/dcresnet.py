@@ -17,6 +17,7 @@ family = "wgan" (Wasserstein losses; see models/losses.py).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
@@ -106,10 +107,31 @@ class _PhaseConv(nn.Module):
         for a in (0, 1):
             for dy in range(-r, r + 1):
                 amap[a, dy + r, (a + dy) // 2 - m_lo] = 1.0
-        amap = jnp.asarray(amap, kernel.dtype)
-        k4 = jnp.einsum("ayp,bxq,yxcf->pqcabf", amap, amap, kernel,
-                        precision=lax.Precision.HIGHEST)
-        k4 = k4.reshape(mk, mk, cin, 4 * self.features)
+        if os.environ.get("CSL_PHASE_COLLAPSE") == "einsum":
+            # Previous form, kept A/B-able: direct 6-D einsum. Its fused
+            # backward (tap contraction + Adam) ran at ~1 ms per [5,5,C,C]
+            # layer on v5e — the [5,5,C,C]/pqcabf intermediates tile poorly.
+            amap_j = jnp.asarray(amap, kernel.dtype)
+            k4 = jnp.einsum("ayp,bxq,yxcf->pqcabf", amap_j, amap_j, kernel,
+                            precision=lax.Precision.HIGHEST)
+            k4 = k4.reshape(mk, mk, cin, 4 * self.features)
+        else:
+            # MXU form: one static [k^2, mk^2*4] 0/1 matrix applied to the
+            # kernel flattened to [k^2, cin*f] — the big (cin*f) axis stays
+            # minor and contiguous through the whole transform (fwd AND its
+            # transpose in the backward), so XLA lowers it as one clean
+            # matmul instead of a badly-tiled 6-D contraction.
+            # Rows (y, x); columns ordered (p, q, a, b).
+            tapmat = np.einsum("ayp,bxq->yxpqab", amap, amap)
+            tapmat = jnp.asarray(tapmat.reshape(k * k, mk * mk * 4),
+                                 kernel.dtype)
+            k4_flat = jnp.matmul(tapmat.T, kernel.reshape(k * k, -1),
+                                 precision=lax.Precision.HIGHEST)
+            # [p, q, a, b, c, f] -> [p, q, c, a, b, f]; the transpose sits
+            # next to the conv's own kernel relayout and fuses there.
+            k4 = k4_flat.reshape(mk, mk, 2, 2, cin, self.features)
+            k4 = k4.transpose(0, 1, 4, 2, 3, 5)
+            k4 = k4.reshape(mk, mk, cin, 4 * self.features)
 
         # Same dtype rule as nn.Conv/promote_dtype: with dtype=None, inputs
         # and params promote to a common type (raw lax.conv does not).

@@ -258,8 +258,33 @@ def _gn_relu_xla(x, scale, bias, groups: int, eps: float):
     bcast = (b,) + (1,) * len(sp_axes) + (c,)
     a = (rstd_c * scale[None, :]).reshape(bcast)
     d_ = (bias[None, :] - mu_c * rstd_c * scale[None, :]).reshape(bcast)
-    z = x.astype(jnp.float32) * a + d_
-    return jnp.maximum(z, 0.0).astype(x.dtype)
+    # Apply the affine in x.dtype, with the f32->x.dtype convert as the LAST
+    # op after an explicit broadcast_to. Op order is what autodiff
+    # transposes: this way (a) the saved relu residual and every big
+    # cotangent stay bf16 in --bf16 mode (the f32 form made XLA write f32
+    # copies of every GN input cotangent AND save the pre-relu z as f32 —
+    # ~0.5 GB/step extra on the CelebA G step, measured 20.7 -> 18.8 ms),
+    # and (b) the transposed broadcast still REDUCES IN F32: astype^T =
+    # convert-to-f32 runs before the sum and fuses into it, so
+    # d(scale)/d(bias)/group-mean accumulations keep fp32 precision (only
+    # per-element products round to bf16, the standard mixed-precision
+    # contract; measured l2 error of d(scale) vs the f32 path: 8e-4).
+    # Cast-before-broadcast would instead transpose to a bf16-accumulated
+    # reduce (~20% random-walk error at CelebA sizes).
+    #
+    # The relu MASK is taken from the f32 affine (stop_gradient, so no f32
+    # cotangent path exists): a bf16 z flips the hinge on ~0.2% of elements
+    # vs the f32 reference, each flip an O(1) gradient outlier. As a bonus
+    # the saved residual is a 1-byte bool instead of the old f32 z. In a
+    # no-grad forward the compare fuses into the where, nothing extra
+    # materializes; for f32 x everything below folds back to exactly the
+    # old `relu(x*a + d)` math.
+    af = jnp.broadcast_to(a, x.shape)
+    df = jnp.broadcast_to(d_, x.shape)
+    pos = (jax.lax.stop_gradient(x).astype(jnp.float32) * af + df) > 0
+    pos = jax.lax.stop_gradient(pos)
+    z = x * af.astype(x.dtype) + df.astype(x.dtype)
+    return jnp.where(pos, z, jnp.zeros((), x.dtype))
 
 
 def group_norm_relu(x, scale, bias, groups: int = 32, eps: float = 1e-5):
