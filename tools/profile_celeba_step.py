@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--trace", type=str, default=None,
                     help="capture a jax.profiler trace of the full d_step")
+    ap.add_argument("--trace_target", choices=("d", "g"), default="d",
+                    help="which step the --trace capture loops over")
+    ap.add_argument("--full_only", action="store_true",
+                    help="skip the per-component breakdown (each piece is "
+                         "a 40-60 s TPU compile); time + trace only the "
+                         "full step selected by --trace_target")
     args = ap.parse_args()
 
     b = 128
@@ -65,6 +71,36 @@ def main():
     z = bld.gen_z(k, b)
 
     g_fwd = jax.jit(lambda s, z, y: bld._fake_images(s, z, y)[0])
+
+    if args.full_only and args.trace_target == "d":
+        full = jax.jit(bld._d_step_gc, donate_argnums=())
+        timeit("FULL d_step_gc", full, state, x, y, x, y, x, y, k)
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                out = None
+                for i in range(10):
+                    out = full(state, x, y, x, y, x, y, k)
+                force(out)
+            print(f"trace written to {args.trace}; summarize with "
+                  f"python tools/xplane_summary.py {args.trace}")
+        return
+
+    if args.trace_target == "g":
+        # Fast path: skip the d-step component breakdown (each CelebA jit
+        # is a 40-60 s TPU compile); time + trace only the g_step.
+        timeit("G forward (fakes)", g_fwd, state, z, y)
+        gs = jax.jit(bld._g_step, donate_argnums=())
+        timeit("g_step", gs, state, k)
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                out = None
+                for i in range(10):
+                    out = gs(state, k)
+                force(out)
+            print(f"trace written to {args.trace}; summarize with "
+                  f"python tools/xplane_summary.py {args.trace}")
+        return
+
     fake = g_fwd(state, z, y)
 
     timeit("G forward (fakes)", g_fwd, state, z, y)
@@ -102,11 +138,18 @@ def main():
     timeit("g_step", gs, state, k)
 
     if args.trace:
-        with jax.profiler.trace(args.trace):
-            out = None
-            for i in range(10):
-                out = full(state, x, y, x, y, x, y, k)
-            force(out)
+        if args.trace_target == "g":
+            with jax.profiler.trace(args.trace):
+                out = None
+                for i in range(10):
+                    out = gs(state, k)
+                force(out)
+        else:
+            with jax.profiler.trace(args.trace):
+                out = None
+                for i in range(10):
+                    out = full(state, x, y, x, y, x, y, k)
+                force(out)
         print(f"trace written to {args.trace}; summarize with "
               f"python tools/xplane_summary.py {args.trace}")
 
