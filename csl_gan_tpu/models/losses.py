@@ -47,7 +47,14 @@ def bce_with_logits(logits, targets, reduction="mean"):
 
 def softmax_cross_entropy(logits, labels, reduction="mean"):
     logp = jax.nn.log_softmax(logits, axis=-1)
-    loss = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    # One-hot dot instead of take_along_axis: picks the identical single
+    # term (the other summands are exact 0.0), so the value is bit-equal —
+    # but it lowers to a dense multiply+reduce instead of a gather whose
+    # jvp/transpose pair cost ~6.5 us EACH on TPU for a [600,10] pick
+    # (gathers are latency-bound "custom fusions"; 2 per MNIST DP step
+    # = 16% of the launch-bound epoch, xplane-measured).
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    loss = -jnp.sum(logp * onehot, axis=-1)
     return _reduce(loss, reduction)
 
 
@@ -101,7 +108,9 @@ def aux_loss(conditional_arch: str, aux_loss_type: str, aux_loss_scalar: float,
         onehot = jax.nn.one_hot(labels, n_classes)
         sign = onehot * (-2.0) + 1.0
         class_counts = jnp.sum(onehot, axis=0)            # [n_classes]
-        row_norm = class_counts[labels][:, None]          # count of own class per row
+        # one-hot dot == class_counts[labels] exactly (single nonzero term),
+        # avoiding a latency-bound TPU gather (see softmax_cross_entropy).
+        row_norm = (onehot @ class_counts)[:, None]       # count of own class per row
         per_elem = sign * jax.nn.sigmoid(aux_out) / row_norm
         if reduction == "none":
             return aux_loss_scalar * jnp.sum(per_elem, axis=-1)

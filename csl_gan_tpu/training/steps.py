@@ -308,7 +308,9 @@ class TrainStepBuilder:
         if valid is not None:
             onehot = onehot * valid[:, None]
         counts = jnp.sum(onehot, axis=0)
-        return 1.0 / jnp.maximum(counts[y], 1.0)
+        # one-hot dot == counts[y] exactly (single nonzero term); avoids a
+        # latency-bound TPU gather (see models/losses.py softmax CE note).
+        return 1.0 / jnp.maximum(onehot @ counts, 1.0)
 
     def _aux_single(self, aux_out_row, yi, wi, fake: bool):
         """Aux loss of ONE sample (aux_out_row: [n_classes])."""
@@ -318,7 +320,12 @@ class TrainStepBuilder:
             return 0.0
         if self.aux_type == "cross_entropy":
             logp = jax.nn.log_softmax(aux_out_row)
-            return -self.aux_scalar * logp[yi]
+            # one-hot dot == logp[yi] exactly; under vmap the integer pick
+            # becomes a [B, C] take_along gather whose jvp/transpose pair is
+            # latency-bound on TPU (see models/losses.py softmax CE note).
+            pick = jnp.sum(jax.nn.one_hot(yi, self.n_classes,
+                                          dtype=logp.dtype) * logp)
+            return -self.aux_scalar * pick
         sign = jax.nn.one_hot(yi, self.n_classes) * (-2.0) + 1.0
         return self.aux_scalar * jnp.sum(sign * jax.nn.sigmoid(aux_out_row)) * wi
 
