@@ -29,7 +29,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from csl_gan_tpu.ops.grads import ClipStats, clip_factors
+from csl_gan_tpu.ops.grads import ClipStats, add_gaussian_noise, clip_factors
 
 
 def vanilla_real_ghost(d_params, x, y_onehot: Optional[jnp.ndarray],
@@ -115,16 +115,12 @@ def vanilla_real_ghost(d_params, x, y_onehot: Optional[jnp.ndarray],
 
     if noise is not None:
         key, sigma = noise
-        leaves, treedef = jax.tree_util.tree_flatten(summed)
-        keys = jax.random.split(key, len(leaves))
-        if per_layer:
-            stds = jnp.asarray(max_norm, jnp.float32) * sigma
-        else:
-            stds = jnp.broadcast_to(
-                jnp.asarray(max_norm, jnp.float32) * sigma, (len(leaves),))
-        leaves = [g + stds[i] * jax.random.normal(k, g.shape, g.dtype)
-                  for i, (g, k) in enumerate(zip(leaves, keys))]
-        summed = jax.tree_util.tree_unflatten(treedef, leaves)
+        # One flat draw for all leaves (grads.add_gaussian_noise): the
+        # per-leaf jax.random.normal calls were 5 rng-bit-generator kernels
+        # plus key-derivation chains per step — ~5 us of the launch-bound
+        # ~68 us MNIST DP step (xplane-measured).
+        summed = add_gaussian_noise(key, summed, sigma, max_norm,
+                                    per_layer=per_layer)
 
     stats = ClipStats(
         norm_mean=jnp.mean(leaf_norms, axis=1),

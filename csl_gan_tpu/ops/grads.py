@@ -136,18 +136,33 @@ def _weighted_sum_fused_noise(grads_ps: Pytree, factors: jnp.ndarray,
 
     leaves, treedef = jax.tree_util.tree_flatten(grads_ps)
     seeds = jax.random.randint(key, (len(leaves),), 0, np.iinfo(np.int32).max)
-    keys = jax.random.split(key, len(leaves))
+    use_pallas = [
+        (int(np.prod(g.shape[1:])) if g.ndim > 1 else 1)
+        >= pallas_clip.MIN_PALLAS_ELEMS for g in leaves]
+    # XLA-branch leaves share ONE flat normal draw: a per-leaf
+    # jax.random.normal is an rng-bit-generator kernel plus a key-derivation
+    # chain, and on the launch-bound MNIST epoch scan the per-leaf draws
+    # cost ~3-5 us of the ~68 us step (xplane-measured). Disjoint slices of
+    # one draw are independent normals, so the DP guarantee is unchanged.
+    sizes = [int(np.prod(g.shape[1:])) if g.ndim > 1 else 1
+             for g in leaves]
+    xla_total = sum(s for s, up in zip(sizes, use_pallas) if not up)
+    eps_flat = (jax.random.normal(jax.random.fold_in(key, 0x5eed),
+                                  (xla_total,), jnp.float32)
+                if xla_total else None)
     out = []
+    off = 0
     for idx, g in enumerate(leaves):
         b = g.shape[0]
-        p = int(np.prod(g.shape[1:])) if g.ndim > 1 else 1
-        if p >= pallas_clip.MIN_PALLAS_ELEMS:
+        if use_pallas[idx]:
             out.append(pallas_clip.leaf_weighted_sum_noise(
                 g, factors[idx], seeds[idx], stds[idx]))
         else:
             w = factors[idx].reshape((b,) + (1,) * (g.ndim - 1))
             s = jnp.sum(g * w, axis=0)
-            out.append(s + stds[idx] * jax.random.normal(keys[idx], s.shape, s.dtype))
+            eps = jax.lax.slice(eps_flat, (off,), (off + sizes[idx],))
+            off += sizes[idx]
+            out.append(s + stds[idx] * eps.astype(s.dtype).reshape(s.shape))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
@@ -265,9 +280,16 @@ def add_gaussian_noise(key: jax.Array, tree: Pytree, sigma: float,
                        max_norm: Union[float, Sequence[float]],
                        per_layer: bool = False) -> Pytree:
     """Add N(0, (sigma*C)^2) noise per parameter (std sigma*C_l in per-layer
-    mode), the Opacus noise-at-step semantics (SURVEY.md §2.1)."""
+    mode), the Opacus noise-at-step semantics (SURVEY.md §2.1).
+
+    One flat draw per dtype group instead of one draw per leaf: each
+    jax.random.normal is an rng-bit-generator kernel plus a key-derivation
+    chain, and on the launch-bound MNIST epoch scan the 5 per-leaf draws
+    cost ~5-8 us of the 81 us step (xplane-measured). Disjoint slices of
+    one draw are independent normals, so the DP guarantee is unchanged
+    (the noise stream for a given seed differs from earlier versions —
+    an internal stream, nothing persists it)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    keys = jax.random.split(key, len(leaves))
     # max_norm may be a traced value (adaptive clipping updates C on-device,
     # train.py:204-245), so stay in jnp ops.
     if per_layer:
@@ -275,10 +297,24 @@ def add_gaussian_noise(key: jax.Array, tree: Pytree, sigma: float,
     else:
         stds = jnp.broadcast_to(jnp.asarray(max_norm, jnp.float32) * sigma,
                                 (len(leaves),))
-    noised = [
-        g + stds[i] * jax.random.normal(k, g.shape, g.dtype)
-        for i, (g, k) in enumerate(zip(leaves, keys))
-    ]
+    by_dtype: dict = {}
+    for i, g in enumerate(leaves):
+        by_dtype.setdefault(jnp.dtype(g.dtype), []).append(i)
+    flat = {}
+    for j, (dt, idxs) in enumerate(sorted(by_dtype.items(),
+                                          key=lambda kv: kv[0].name)):
+        kd = key if len(by_dtype) == 1 else jax.random.fold_in(key, j)
+        total = sum(int(np.prod(leaves[i].shape)) for i in idxs)
+        flat[dt] = jax.random.normal(kd, (total,), dt)
+    offs = {dt: 0 for dt in flat}
+    noised = []
+    for i, g in enumerate(leaves):
+        dt = jnp.dtype(g.dtype)
+        n = int(np.prod(g.shape))
+        o = offs[dt]
+        offs[dt] = o + n
+        eps = jax.lax.slice(flat[dt], (o,), (o + n,)).reshape(g.shape)
+        noised.append(g + stds[i] * eps)  # same dtype promotion as before
     return jax.tree_util.tree_unflatten(treedef, noised)
 
 

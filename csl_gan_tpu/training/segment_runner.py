@@ -141,8 +141,8 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
             else:
                 idx = jax.lax.dynamic_slice(perm, ((start + i) * bs,),
                                             (bs,))
-                x = builder.unflatten_rows(images[idx])
-                y = labels[idx] if builder.conditional else None
+                x, yy = builder.gather_batch(images, labels, idx)
+                y = yy if builder.conditional else None
             if batch_sharding is not None:
                 # Shard the gathered batch over the mesh's data axis so
                 # the per-sample-grad work actually parallelizes (the
