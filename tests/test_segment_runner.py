@@ -233,6 +233,30 @@ def test_flat_image_table_matches_nhwc(tmp_path):
     x, y, valid = builder2.poisson_draw(flat, labels, jax.random.PRNGKey(3))
     assert x.shape == (30, 28, 28, 1)
 
+    # Label-packed flat table (loop._setup_device_data packs y as a
+    # trailing f32 column; steps.gather_batch splits after ONE gather)
+    # must also be bit-identical — and y must really come from the table:
+    # the labels argument is replaced with garbage.
+    _, builder3, state3 = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0")
+    builder3.img_shape = images.shape[1:]
+    builder3.labels_in_table = True
+    packed = jnp.concatenate(
+        [flat, labels.astype(jnp.float32)[:, None]], axis=1)
+    garbage = jnp.full_like(labels, 7)
+    r3 = builder3.build_segment_runner(use_dp=True)
+    s3, *_ = r3(state3, rng, packed, garbage, perm, 0, g_mask,
+                jnp.zeros(()), jnp.zeros(()))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
+                    jax.tree_util.tree_leaves(s3.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    builder3.poisson = True
+    builder3.poisson_q = 0.2
+    builder3.poisson_cap = 30
+    xp, yp, _ = builder3.poisson_draw(packed, garbage, jax.random.PRNGKey(3))
+    assert xp.shape == (30, 28, 28, 1)
+    np.testing.assert_array_equal(np.asarray(yp), np.asarray(y))
+
 
 def test_acc_in_chains_segment_sums(tmp_path):
     """Two chained segments passing acc_in must produce the same metric sums
