@@ -58,7 +58,7 @@ def bench_jax() -> float:
         float(jax.device_get(
             jax.tree_util.tree_leaves(trainer.state.d_params)[0].ravel()[0]))
 
-    n_epochs, n_trials = 25, 6
+    n_epochs, n_trials = 50, 6
     t0 = time.perf_counter()
     # The production run() groups epochs between host events into ONE
     # dispatch (loop.py _group_epochs/_multi_epoch_scan); with this config's
@@ -71,7 +71,7 @@ def bench_jax() -> float:
     # Tunneled-TPU variance: best of several trials (observed spread on
     # identical code: 60-139 ms/epoch across runs; trials cost ~0.5 s each
     # so more of them is cheap insurance against a bad relay period).
-    # 25 epochs per force: the relay's device->host readback RTT is ~35 ms
+    # 50 epochs per force: the relay's device->host readback RTT is ~35 ms
     # regardless of payload — per-epoch forcing would measure the tunnel,
     # not the training (real runs never read params back per epoch; the
     # per-epoch privacy row is host-side accountant math only).
