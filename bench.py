@@ -107,6 +107,8 @@ def bench_celeba_jax(bf16: bool = False) -> float:
         "--manual_seed", "7", "-nms", "1", "--mean_sample_size", "8",
         "--bf16", "true" if bf16 else "false",
         "-o", f"/tmp/bench_celeba{'_bf16' if bf16 else ''}"])
+    import jax.numpy as jnp
+
     (G, Gv), (D, Dv) = init_models(opt)
     builder = TrainStepBuilder(opt, G, D)
     assert builder.use_conv_ghost
@@ -115,19 +117,36 @@ def bench_celeba_jax(bf16: bool = False) -> float:
     x = jax.random.uniform(k, (b, 64, 64, 3), minval=-1, maxval=1)
     y = jax.random.randint(k, (b,), 0, 2)
 
-    t0 = time.perf_counter()
-    state, m = builder.d_step_dp(state, x, y, x, y, x, y, k)
-    float(jax.device_get(m["d_adv_loss"]))
-    log(f"celeba compile + first step: {time.perf_counter() - t0:.1f}s")
+    # n_iters D steps inside ONE dispatch (lax.scan), mirroring the
+    # production path: the Trainer runs whole logging segments as one
+    # jitted scan (training/segment_runner.py), so per-call relay issue
+    # cost (~1-4 ms depending on relay health, serialized with execution
+    # on this tunnel) is not part of real training and must not be part
+    # of the measurement. The forced readback RTT (~35 ms regardless of
+    # payload) amortizes over the n_iters steps of each trial.
+    n_iters, n_trials = 50, 4
 
-    n_iters, n_trials = 20, 5
+    def loop(st, key):
+        def body(carry, i):
+            st, m = builder._d_core(carry, x, y, x, y, x, y,
+                                    jax.random.fold_in(key, i), True, None)
+            return st, m["d_adv_loss"]
+        st, losses = jax.lax.scan(body, st, jnp.arange(n_iters))
+        return builder._constrain_state(st), losses[-1]
+
+    loop = jax.jit(loop, donate_argnums=(0,))
+
+    t0 = time.perf_counter()
+    state, last = loop(state, k)
+    float(jax.device_get(last))
+    log(f"celeba compile + first {n_iters} steps: "
+        f"{time.perf_counter() - t0:.1f}s")
+
     best = float("inf")
     for t in range(n_trials):
         t0 = time.perf_counter()
-        for i in range(n_iters):
-            state, m = builder.d_step_dp(state, x, y, x, y, x, y,
-                                         jax.random.fold_in(k, t * 100 + i))
-        float(jax.device_get(m["d_adv_loss"]))  # force execution
+        state, last = loop(state, jax.random.fold_in(k, t + 1))
+        float(jax.device_get(last))  # force execution
         best = min(best, (time.perf_counter() - t0) / n_iters)
     sps = b / best
     log(f"celeba{' bf16' if bf16 else ''} steady state (best of {n_trials}): "
