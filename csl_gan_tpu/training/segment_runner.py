@@ -60,6 +60,9 @@ def build_segment_runner(builder, use_dp: bool, mean_sample_fn=None,
     Returns f(state, rng, images, labels, perm, start, g_mask, mean_samples,
     d_loss_acc, acc_in=None, epoch=0) -> (state, rng, d_metric_sums,
     g_metric_sums, g_count, d_loss_acc).
+      - per-step subkeys derive positionally from (rng, epoch, start+i)
+        in one batched fold_in outside the scan (see `run`); `rng` is
+        returned unchanged as the continuation key.
       - `perm` is either an explicit row-permutation array (signed ints) or
         a PRNG key (see _resolve_perm).
       - `acc_in`, when given, is the (d_sums, g_sums, g_count) tuple from
@@ -130,9 +133,30 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
     def run(state, rng, images, labels, perm, start, g_mask, mean_samples,
             d_loss_acc, acc_in=None, epoch=0):
         perm = _resolve_perm(perm, images.shape[0], epoch)
+        n = g_mask.shape[0]
 
-        def step_core(state, rng, d_acc, i, g_cad):
-            rng, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng, 6)
+        # Every step's subkeys derive POSITIONALLY, outside the scan, in
+        # one batched fold_in: subkey (i, j) = fold_in(fold_in(rng, epoch),
+        # (start + i) * 8 + j). The old per-step jax.random.split chains
+        # lowered to ~20 standalone sub-microsecond u32 kernels per
+        # iteration of the launch-bound MNIST scan (round-3 xplane
+        # profile); as scan xs the keys cost one slice. Positional
+        # derivation also makes the streams independent of segmentation:
+        # chained segments (start offsets), multi-epoch dispatches and one
+        # whole-epoch dispatch see identical keys by construction, and
+        # `rng` passes through unchanged as the continuation key (epochs
+        # stay distinct via the epoch fold).
+        # Column layout: 0-2 D-step row (z, noise, pen), 3-4 G-step row
+        # (z, y), 5 penalty mean-samples, 6 adaptive mean-samples,
+        # 7 poisson/preprocess.
+        base = jax.random.fold_in(rng, epoch)
+        cols = (start + jnp.arange(n))[:, None] * 8 + jnp.arange(8)[None, :]
+        step_keys = jax.vmap(jax.vmap(
+            lambda t: jax.random.fold_in(base, t)))(cols)
+
+        def step_core(state, d_acc, i, g_cad, kk):
+            k_dd, k_gg = kk[0:3], kk[3:5]
+            k_pen, k_ad, k_pp = kk[5], kk[6], kk[7]
             valid = None
             if use_dp and builder.poisson:
                 x, yy, valid = builder.poisson_draw(
@@ -168,7 +192,7 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
                 ax, ay = x, y
 
             state, dm = builder._d_core(state, x, y, pen_x, pen_y, ax, ay,
-                                        k_d, use_dp, valid)
+                                        k_dd, use_dp, valid)
             d_acc = d_acc + dm["d_adv_loss"]
             if use_threshold:
                 g_on = jnp.logical_and(g_cad, d_acc / n_d < threshold)
@@ -176,7 +200,7 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
                 g_on = g_cad
 
             def do_g(st):
-                return builder._g_step(st, k_g)
+                return builder._g_step(st, k_gg)
 
             def skip_g(st):
                 zeros = {"g_adv_loss": jnp.asarray(0.0)}
@@ -195,9 +219,8 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
             # The accumulator resets at every cadence point, trained or
             # not (reference train.py:533 zeroes it after the decision).
             d_acc = jnp.where(g_cad, 0.0, d_acc)
-            return state, rng, d_acc, dm, gm, g_on
+            return state, d_acc, dm, gm, g_on
 
-        n = g_mask.shape[0]
         # Metric SUMS ride the scan carry instead of being stacked into
         # [n]-buffers and summed afterwards: per-step dynamic-update-
         # slices + copies for ~15 stacked metrics were a measurable
@@ -205,9 +228,9 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
         # The structure of one step's metrics comes from eval_shape
         # (trace-time only, no compute).
         dm_s, gm_s, _ = jax.eval_shape(
-            lambda s, r, a: step_core(s, r, a, jnp.int32(0),
-                                      jnp.bool_(True))[3:],
-            state, rng, d_loss_acc)
+            lambda s, a, kk: step_core(s, a, jnp.int32(0),
+                                       jnp.bool_(True), kk)[2:],
+            state, d_loss_acc, step_keys[0])
         zeros = lambda t: jax.tree.map(
             lambda x: jnp.zeros(x.shape, x.dtype), t)
         track_is = builder.dp_mode == "is" and use_dp
@@ -230,13 +253,13 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
             d0 = dict(d0)
             s_min0 = d0.pop("is_sens_min", jnp.zeros(()))
             s_max0 = d0.pop("is_sens_max", jnp.zeros(()))
-        carry0 = (state, rng, d_loss_acc, d0, g0, n0, s_min0, s_max0)
+        carry0 = (state, d_loss_acc, d0, g0, n0, s_min0, s_max0)
 
         def body(carry, inp):
-            state, rng, d_acc, d_sum, g_sum, g_n, s_min, s_max = carry
-            i, g_cad = inp
-            state, rng, d_acc, dm, gm, g_on = step_core(
-                state, rng, d_acc, i, g_cad)
+            state, d_acc, d_sum, g_sum, g_n, s_min, s_max = carry
+            i, g_cad, kk = inp
+            state, d_acc, dm, gm, g_on = step_core(
+                state, d_acc, i, g_cad, kk)
             d_sum = jax.tree.map(jnp.add, d_sum, dm)
             g_sum = jax.tree.map(jnp.add, g_sum, gm)
             g_n = g_n + g_on.astype(jnp.int32)
@@ -245,12 +268,12 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
                 # columns (reference train.py:331-338).
                 s_min = jnp.minimum(s_min, dm["is_sens"])
                 s_max = jnp.maximum(s_max, dm["is_sens"])
-            return (state, rng, d_acc, d_sum, g_sum, g_n, s_min,
+            return (state, d_acc, d_sum, g_sum, g_n, s_min,
                     s_max), None
 
-        (state, rng, d_loss_acc, d_sums, g_sums, g_count, s_min,
+        (state, d_loss_acc, d_sums, g_sums, g_count, s_min,
          s_max), _ = jax.lax.scan(body, carry0,
-                                  (jnp.arange(n), g_mask))
+                                  (jnp.arange(n), g_mask, step_keys))
         state = builder._constrain_state(state)
         if track_is:
             d_sums["is_sens_min"] = s_min

@@ -39,6 +39,26 @@ from csl_gan_tpu.training import param_order, penalty as penalty_mod
 from csl_gan_tpu.options import opt_get
 
 
+def key_rows(rng, k: int):
+    """k per-purpose subkeys from one key via ONE batched positional
+    fold_in (subkey j = fold_in(rng, j)) — or an already-derived row of
+    >= k keys passed through unchanged (the segment runner precomputes
+    every step's row outside its scan; segment_runner.py).
+
+    Replaces jax.random.split(rng, k) inside the per-batch steps: each
+    split site lowered to ~4-6 standalone sub-microsecond u32 kernels per
+    scan iteration on the launch-bound MNIST segment (round-3 xplane
+    profile), while a vmapped fold_in is one fused kernel and a
+    runner-supplied row costs only its xs slice. fold_in-derived streams
+    are as independent as split-derived ones; no RNG stream is persisted,
+    so the stream change is observable only through manual_seed replay."""
+    typed = jax.dtypes.issubdtype(rng.dtype, jax.dtypes.prng_key)
+    if rng.ndim == (1 if typed else 2):  # already a row of keys
+        assert rng.shape[0] >= k, (rng.shape, k)
+        return rng
+    return jax.vmap(lambda t: jax.random.fold_in(rng, t))(jnp.arange(k))
+
+
 @struct.dataclass
 class TrainState:
     g_params: Any
@@ -383,7 +403,8 @@ class TrainStepBuilder:
 
     def _d_step_plain(self, state: TrainState, x, y, pen_x, pen_y, rng):
         b = x.shape[0]
-        k_z, k_pen = jax.random.split(rng)
+        ks = key_rows(rng, 2)
+        k_z, k_pen = ks[0], ks[1]
         z = self.gen_z(k_z, b)
         fake_img, g_stats = self._fake_images(state, z, y)
         row_w = self._row_weights(y) if self.conditional else None
@@ -594,7 +615,8 @@ class TrainStepBuilder:
         # Under Poisson subsampling (valid mask set), division and penalty
         # scaling use the EXPECTED batch size (standard Poisson DP-SGD).
         b_eff = self.opt.batch_size if valid is not None else b
-        k_z, k_noise, k_pen = jax.random.split(rng, 3)
+        ks = key_rows(rng, 3)
+        k_z, k_noise, k_pen = ks[0], ks[1], ks[2]
         z = self.gen_z(k_z, b)
         fake_img, g_stats = self._fake_images(state, z, y)
         row_w = self._row_weights(y, valid) if self.conditional else None
@@ -749,7 +771,8 @@ class TrainStepBuilder:
 
     def _d_step_is(self, state: TrainState, x, y, pen_x, pen_y, rng):
         b = x.shape[0]
-        k_z, k_noise, k_pen = jax.random.split(rng, 3)
+        ks = key_rows(rng, 3)
+        k_z, k_noise, k_pen = ks[0], ks[1], ks[2]
         z = self.gen_z(k_z, b)
         fake_img, g_stats = self._fake_images(state, z, y)
 
@@ -832,7 +855,8 @@ class TrainStepBuilder:
 
     def _d_step_tmsv(self, state: TrainState, x, y, pen_x, pen_y, rng):
         b = x.shape[0]
-        k_z, k_noise, k_pen = jax.random.split(rng, 3)
+        ks = key_rows(rng, 3)
+        k_z, k_noise, k_pen = ks[0], ks[1], ks[2]
         z = self.gen_z(k_z, b)
         fake_img, g_stats = self._fake_images(state, z, y)
         row_w = self._row_weights(y) if self.conditional else None
@@ -876,7 +900,8 @@ class TrainStepBuilder:
 
     def _g_step(self, state: TrainState, rng):
         b = self.opt.batch_size
-        k_z, k_y = jax.random.split(rng)
+        ks = key_rows(rng, 2)
+        k_z, k_y = ks[0], ks[1]
         z = self.gen_z(k_z, b)
         y = self.gen_y(k_y, b)
 

@@ -23,18 +23,26 @@ def make_data(n=100, bs=20):
             jax.random.randint(ky, (n,), 0, 10))
 
 
+def step_key_row(rng, i, start=0, epoch=0):
+    """The runner's positional per-step subkey row (segment_runner.py):
+    subkey (i, j) = fold_in(fold_in(rng, epoch), (start + i) * 8 + j)."""
+    base = jax.random.fold_in(rng, epoch)
+    return jnp.stack([jax.random.fold_in(base, (start + i) * 8 + j)
+                      for j in range(8)])
+
+
 def manual_sequence(builder, state, rng, images, labels, perm, g_mask, use_dp,
                     conditional):
     """Replicates the scan body on the host, step by step."""
     bs = builder.opt.batch_size
     for i in range(len(g_mask)):
-        rng, k_d, k_g, k_pen, k_ad = jax.random.split(rng, 5)
+        kk = step_key_row(rng, i)
         idx = perm[i * bs:(i + 1) * bs]
         x = images[idx]
         y = labels[idx] if conditional else None
-        state, _ = builder._d_core(state, x, y, x, y, x, y, k_d, use_dp)
+        state, _ = builder._d_core(state, x, y, x, y, x, y, kk[0:3], use_dp)
         if bool(g_mask[i]):
-            state, _ = builder._g_step(state, k_g)
+            state, _ = builder._g_step(state, kk[3:5])
     return state
 
 
@@ -95,9 +103,10 @@ def test_scan_start_offset(tmp_path):
     # run segment [2,3) from offset 2 vs manual on batch 2
     s_scan, *_ = runner(state, rng, images, labels, perm, 2, g1, jnp.zeros(()), jnp.zeros(()))
     _, builder2, state2 = setup(tmp_path)
-    rng2, k_d, *_ = jax.random.split(rng, 5)
+    kk = step_key_row(rng, 0, start=2)
     x = images[40:60]
-    s_seq, _ = builder2._d_core(state2, x, None, x, None, x, None, k_d, False)
+    s_seq, _ = builder2._d_core(state2, x, None, x, None, x, None, kk[0:3],
+                                False)
     for a, b in zip(jax.tree_util.tree_leaves(s_scan.d_params),
                     jax.tree_util.tree_leaves(s_seq.d_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -129,19 +138,19 @@ def test_scan_threshold_gating_matches_host(tmp_path):
 
     # Host replica of train_batch's gating (loop.py train_batch).
     _, builder2, state2 = setup(tmp_path, *args)
-    rng2 = rng
     acc = 0.0
     g_trained = 0
     bs = builder2.opt.batch_size
     for i in range(5):
-        rng2, k_d, k_g, k_pen, k_ad, k_pp = jax.random.split(rng2, 6)
+        kk = step_key_row(rng, i)
         x = images[perm[i * bs:(i + 1) * bs]]
         y = labels[perm[i * bs:(i + 1) * bs]]
-        state2, m = builder2._d_core(state2, x, y, x, y, x, y, k_d, False)
+        state2, m = builder2._d_core(state2, x, y, x, y, x, y, kk[0:3],
+                                     False)
         acc += float(m["d_adv_loss"])
         if i % n_d == 0:
             if acc / n_d < thresh:
-                state2, _ = builder2._g_step(state2, k_g)
+                state2, _ = builder2._g_step(state2, kk[3:5])
                 g_trained += 1
             acc = 0.0
     assert int(g_count) == g_trained
@@ -307,8 +316,9 @@ def test_key_perm_matches_explicit_perm(tmp_path):
     _, builder2, state2 = setup(tmp_path, "--conditional")
     perm = jax.random.permutation(jax.random.fold_in(key, epoch), 100)
     r2 = builder2.build_segment_runner(use_dp=False)
+    # same epoch on both sides: step subkeys fold the epoch in too
     s2, *_ = r2(state2, rng, images, labels, perm, 0, g_mask,
-                jnp.zeros(()), jnp.zeros(()))
+                jnp.zeros(()), jnp.zeros(()), None, epoch)
     for a, b in zip(jax.tree_util.tree_leaves(s1.d_params),
                     jax.tree_util.tree_leaves(s2.d_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
