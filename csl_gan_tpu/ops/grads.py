@@ -147,9 +147,10 @@ def _weighted_sum_fused_noise(grads_ps: Pytree, factors: jnp.ndarray,
     sizes = [int(np.prod(g.shape[1:])) if g.ndim > 1 else 1
              for g in leaves]
     xla_total = sum(s for s, up in zip(sizes, use_pallas) if not up)
-    eps_flat = (jax.random.normal(jax.random.fold_in(key, 0x5eed),
-                                  (xla_total,), jnp.float32)
-                if xla_total else None)
+    k_eps = jax.random.fold_in(key, 0x5eed)
+    # Same size gate as add_gaussian_noise: one flat draw only while small.
+    eps_flat = (jax.random.normal(k_eps, (xla_total,), jnp.float32)
+                if 0 < xla_total <= _FLAT_DRAW_MAX else None)
     out = []
     off = 0
     for idx, g in enumerate(leaves):
@@ -160,8 +161,12 @@ def _weighted_sum_fused_noise(grads_ps: Pytree, factors: jnp.ndarray,
         else:
             w = factors[idx].reshape((b,) + (1,) * (g.ndim - 1))
             s = jnp.sum(g * w, axis=0)
-            eps = jax.lax.slice(eps_flat, (off,), (off + sizes[idx],))
-            off += sizes[idx]
+            if eps_flat is None:
+                eps = jax.random.normal(jax.random.fold_in(k_eps, idx),
+                                        (sizes[idx],), jnp.float32)
+            else:
+                eps = jax.lax.slice(eps_flat, (off,), (off + sizes[idx],))
+                off += sizes[idx]
             out.append(s + stds[idx] * eps.astype(s.dtype).reshape(s.shape))
     return jax.tree_util.tree_unflatten(treedef, out)
 
@@ -276,19 +281,33 @@ def clipped_grad_sum(loss_fn: Callable, params: Pytree, *batch,
     return summed, _stats_from_norms(norms, factors)
 
 
+# One flat normal draw per dtype group only up to this many elements
+# (1 MB f32); see add_gaussian_noise.
+_FLAT_DRAW_MAX = 1 << 18
+
+
 def add_gaussian_noise(key: jax.Array, tree: Pytree, sigma: float,
                        max_norm: Union[float, Sequence[float]],
                        per_layer: bool = False) -> Pytree:
     """Add N(0, (sigma*C)^2) noise per parameter (std sigma*C_l in per-layer
     mode), the Opacus noise-at-step semantics (SURVEY.md §2.1).
 
-    One flat draw per dtype group instead of one draw per leaf: each
-    jax.random.normal is an rng-bit-generator kernel plus a key-derivation
-    chain, and on the launch-bound MNIST epoch scan the 5 per-leaf draws
-    cost ~5-8 us of the 81 us step (xplane-measured). Disjoint slices of
-    one draw are independent normals, so the DP guarantee is unchanged
-    (the noise stream for a given seed differs from earlier versions —
-    an internal stream, nothing persists it)."""
+    One flat draw per dtype group instead of one draw per leaf — for SMALL
+    groups: each jax.random.normal is an rng-bit-generator kernel plus a
+    key-derivation chain, and on the launch-bound MNIST epoch scan the 5
+    per-leaf draws cost ~5-8 us of the 81 us step (xplane-measured).
+    Disjoint slices of one draw are independent normals, so the DP
+    guarantee is unchanged (the noise stream for a given seed differs from
+    earlier versions — an internal stream, nothing persists it).
+
+    Groups past _FLAT_DRAW_MAX elements draw PER LEAF, shaped: inside a
+    lax.scan body XLA materializes the full flat buffer plus a
+    low-lane-utilization [N/2, 2] relayout of it that measured 3.3 ms/step
+    on the CelebA bf16 D step (4.33M-param group, round-3 xplane trace of
+    the production scan; the per-call compile of the same source sank the
+    slices into per-leaf shaped generation on its own). Per-leaf keys
+    derive positionally (fold_in(group_key, leaf_index)), one fused
+    generate+convert kernel per leaf."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     # max_norm may be a traced value (adaptive clipping updates C on-device,
     # train.py:204-245), so stay in jnp ops.
@@ -301,19 +320,26 @@ def add_gaussian_noise(key: jax.Array, tree: Pytree, sigma: float,
     for i, g in enumerate(leaves):
         by_dtype.setdefault(jnp.dtype(g.dtype), []).append(i)
     flat = {}
+    gkeys = {}
     for j, (dt, idxs) in enumerate(sorted(by_dtype.items(),
                                           key=lambda kv: kv[0].name)):
         kd = key if len(by_dtype) == 1 else jax.random.fold_in(key, j)
+        gkeys[dt] = kd
         total = sum(int(np.prod(leaves[i].shape)) for i in idxs)
-        flat[dt] = jax.random.normal(kd, (total,), dt)
+        flat[dt] = (jax.random.normal(kd, (total,), dt)
+                    if total <= _FLAT_DRAW_MAX else None)
     offs = {dt: 0 for dt in flat}
     noised = []
     for i, g in enumerate(leaves):
         dt = jnp.dtype(g.dtype)
-        n = int(np.prod(g.shape))
-        o = offs[dt]
-        offs[dt] = o + n
-        eps = jax.lax.slice(flat[dt], (o,), (o + n,)).reshape(g.shape)
+        if flat[dt] is None:
+            eps = jax.random.normal(jax.random.fold_in(gkeys[dt], i),
+                                    g.shape, dt)
+        else:
+            n = int(np.prod(g.shape))
+            o = offs[dt]
+            offs[dt] = o + n
+            eps = jax.lax.slice(flat[dt], (o,), (o + n,)).reshape(g.shape)
         noised.append(g + stds[i] * eps)  # same dtype promotion as before
     return jax.tree_util.tree_unflatten(treedef, noised)
 
