@@ -123,8 +123,10 @@ def bench_celeba_jax(bf16: bool = False) -> float:
     # cost (~1-4 ms depending on relay health, serialized with execution
     # on this tunnel) is not part of real training and must not be part
     # of the measurement. The forced readback RTT (~35 ms regardless of
-    # payload) amortizes over the n_iters steps of each trial.
-    n_iters, n_trials = 50, 4
+    # payload) amortizes over the n_iters steps of each trial; a CelebA
+    # production epoch is 1583 steps in one dispatch, so 200 still
+    # UNDERSTATES the amortization real training gets.
+    n_iters, n_trials = 200, 3
 
     def loop(st, key):
         def body(carry, i):
