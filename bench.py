@@ -156,6 +156,59 @@ def bench_celeba_jax(bf16: bool = False) -> float:
     return sps
 
 
+def bench_celeba_train() -> float:
+    """CelebA flagship FULL training throughput through the real Trainer:
+    D steps at the n_d_steps=5 cadence, G updates behind the production
+    lax.cond, WGAN-GP penalty on mean samples, conv ghost clipping, bf16 —
+    the production multi-epoch scan path end-to-end (threshold gating set
+    inactive so the G cadence is deterministic; the reference's forced
+    threshold=-1 freezes G entirely, RESULTS.md utility study).
+
+    Reported as samples/s of D batches (reference train-loop semantics:
+    one data batch consumed per D step; each step carries its 1/5 share
+    of the G update)."""
+    import jax
+
+    from csl_gan_tpu import options
+    from csl_gan_tpu.training.loop import Trainer
+
+    b = 128
+    opt = options.parse([
+        "CelebA", "--conditional", "-dpm", "gc", "-bs", str(b),
+        "-tss", str(b * 100), "--manual_seed", "7",
+        "-nms", "1", "--mean_sample_size", "8", "--bf16", "true",
+        "--train_d_until_threshold", "1e18",
+        "-ne", "1000", "--log_every", "100000000",
+        "--sample_every", "100000000", "--save_every", "100000",
+        "-o", "/tmp/bench_celeba_train"])
+    trainer = Trainer(opt)
+    assert trainer._scan_mode(), "celeba train bench expects the scan path"
+    steps = len(trainer.dataloader)
+
+    def force():
+        float(jax.device_get(jax.tree_util.tree_leaves(
+            trainer.state.d_params)[0].ravel()[0]))
+
+    n_epochs, n_trials = 2, 3
+    t0 = time.perf_counter()
+    trainer._multi_epoch_scan(0, n_epochs)
+    force()
+    log(f"celeba train compile + first {n_epochs} epochs: "
+        f"{time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    e = n_epochs
+    for _ in range(n_trials):
+        t0 = time.perf_counter()
+        trainer._multi_epoch_scan(e, n_epochs)
+        e += n_epochs
+        force()
+        best = min(best, (time.perf_counter() - t0) / (n_epochs * steps))
+    sps = b / best
+    log(f"celeba full-train steady state (best of {n_trials}): "
+        f"{best * 1e3:.2f} ms/step, {sps:,.0f} samples/s")
+    return sps
+
+
 def bench_celeba_torch_cpu() -> float:
     """Same CelebA D-step math in torch on CPU: DCResNet G forward for the
     fakes, per-sample-clipped real pass (vmap(grad), chunked), clean fake
@@ -378,6 +431,7 @@ def main():
         value = bench_jax()
         celeba_value = bench_celeba_jax()
         celeba_bf16_value = bench_celeba_jax(bf16=True)
+        celeba_train_value = bench_celeba_train()
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -411,6 +465,10 @@ def main():
         # same workload under --bf16 (fp32 params + DP clipping arithmetic):
         "celeba_bf16_value": round(celeba_bf16_value, 1),
         "celeba_bf16_vs_baseline": round(celeba_bf16_value / celeba_baseline, 2),
+        # FULL flagship training (D at n_d_steps=5 cadence + gated G +
+        # WGAN-GP penalty via mean samples, bf16) through the real
+        # Trainer's multi-epoch scan — samples/s of D batches:
+        "celeba_train_value": round(celeba_train_value, 1),
     }))
 
 
