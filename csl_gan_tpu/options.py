@@ -376,6 +376,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "(no [B,P] materialization), which profiles "
                              "faster for these models; the kernel wins only "
                              "when per-sample grads are materialized anyway.")
+    parser.add_argument("--pallas_epoch", type=str2bool, default=True,
+                        help="Run whole epochs of the MNIST vanilla DP "
+                             "flagship as ONE Pallas megakernel (params and "
+                             "Adam moments stay in VMEM across the epoch's "
+                             "steps; ops/pallas_epoch.py). Auto-gated to "
+                             "eligible configs on a single TPU; other "
+                             "configs use the XLA interval scan either way.")
     return parser
 
 

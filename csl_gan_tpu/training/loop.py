@@ -303,9 +303,21 @@ class Trainer:
                 # bound MNIST scan, while the extra column rides in the
                 # same padded lane tile (784 -> 896 either way). Labels
                 # 0..n_classes-1 round-trip f32 exactly.
-                lab_col = np.asarray(self.dataset.labels,
-                                     np.float32).reshape(-1, 1)
-                imgs = np.concatenate([imgs, lab_col], axis=1)
+                cols = [imgs]
+                if self.opt.conditional and 2 <= self.opt.n_classes <= 64:
+                    # Also pack the label ONE-HOT between pixels and label:
+                    # the whole-epoch Pallas runner (ops/pallas_epoch.py)
+                    # then consumes gathered rows as ready-made
+                    # [x || one-hot] ghost inputs with no 190 MB concat
+                    # fusion per epoch (measured 0.65 ms/epoch); the
+                    # columns pad into the same 896-lane gather tile.
+                    eye = np.eye(self.opt.n_classes, dtype=np.float32)
+                    cols.append(eye[np.asarray(self.dataset.labels,
+                                               np.int64)])
+                    self.builder.onehot_in_table = True
+                cols.append(np.asarray(self.dataset.labels,
+                                       np.float32).reshape(-1, 1))
+                imgs = np.concatenate(cols, axis=1)
                 self.builder.labels_in_table = True
             self._dev_data = (
                 self.mesh.put_replicated(jnp.asarray(imgs, dtype)),
@@ -566,6 +578,19 @@ class Trainer:
     def _get_epochs_runner(self, use_dp: bool, k: int):
         key = (use_dp, k)
         if key not in self._epoch_runners:
+            from csl_gan_tpu.ops import pallas_epoch
+            if (opt_get(self.opt, "pallas_epoch", True)
+                    and jax.default_backend() == "tpu"
+                    and pallas_epoch.supports(self.builder, use_dp,
+                                              self.mesh.n_devices)):
+                # Whole-epoch Pallas megakernel (MNIST vanilla DP flagship):
+                # params + Adam moments stay VMEM-resident across the
+                # epoch's steps; same signature and metric structure as the
+                # XLA epochs runner (ops/pallas_epoch.py).
+                self._epoch_runners[key] = \
+                    pallas_epoch.build_pallas_epochs_runner(
+                        self.builder, k, len(self.dataloader))
+                return self._epoch_runners[key]
             mean_fn = (self.mean_sampler.device_sample_fn()
                        if self._dev_mean is not None else None)
             self._epoch_runners[key] = self.builder.build_epochs_runner(

@@ -142,6 +142,7 @@ class TrainStepBuilder:
         # tables are kept flat and rows are unflattened after the gather.
         self.img_shape = None
         self.labels_in_table = False  # set by loop._setup_device_data
+        self.onehot_in_table = False  # table rows are [x | one-hot | label]
         self.is_per_param = bool(opt.imm_sens_per_param)
         self.is_scaling_mode = opt.imm_sens_scaling_mode or "standard"
         self.moving_avg_beta = opt_get(opt, "moving_avg_beta", 0.9)
@@ -556,7 +557,13 @@ class TrainStepBuilder:
         tiny strided fusion."""
         if self.labels_in_table:
             rows = images[idx]
-            x = rows[:, :-1].reshape((rows.shape[0],) + tuple(self.img_shape))
+            f = 1
+            for d in self.img_shape:
+                f *= d
+            # Rows may carry extra one-hot columns between the pixels and
+            # the trailing label (onehot_in_table; consumed by the Pallas
+            # epoch runner) — slice by image width, not by :-1.
+            x = rows[:, :f].reshape((rows.shape[0],) + tuple(self.img_shape))
             return x, rows[:, -1].astype(jnp.int32)
         return self.unflatten_rows(images[idx]), labels[idx]
 

@@ -1,0 +1,133 @@
+"""Whole-epoch Pallas megakernel (ops/pallas_epoch.py) vs the production
+XLA epochs runner — interpret-mode equivalence on the CPU mesh.
+
+The kernel mirrors the production step math line-for-line and consumes
+PRE-DRAWN randomness generated with the production key schedule, so the
+value streams (per-epoch permutation, z, labels, DP noise) are identical;
+the only differences are matmul accumulation orders and transcendental
+lowerings. Single-step agreement is ~1e-7 absolute (measured); over tens of
+steps the reduce-order noise compounds through Adam, so the multi-epoch
+check uses a normalized-l2 tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csl_gan_tpu import options
+from csl_gan_tpu.ops import pallas_epoch
+from csl_gan_tpu.training.loop import Trainer
+
+
+def _trainer(tmp_path, extra=()):
+    opt = options.parse([
+        "MNIST", "--conditional", "-dpm", "gc", "--sigma", "0.7",
+        "-bs", "32", "-tss", "160", "--manual_seed", "3", "-ne", "4",
+        "--log_every", "100000000", "--sample_every", "100000000",
+        "--save_every", "100000", *extra, "-o", str(tmp_path / "pe")])
+    return Trainer(opt)
+
+
+def _copy(state):
+    return jax.tree_util.tree_map(jnp.array, state)
+
+
+def _run_pair(tr, k):
+    b = tr.builder
+    n = len(tr.dataloader)
+    prod = b.build_epochs_runner(True, k, n, None, None, None,
+                                 assume_full_cadence=True)
+    pall = pallas_epoch.build_pallas_epochs_runner(b, k, n, interpret=True)
+    g_mask = jnp.ones((n,), bool)
+    thresh = jnp.zeros(())
+    ms = jnp.zeros(())
+    zero = tr._get_zero_acc(True, tr._get_runner(True),
+                            (tr.state, tr._seg_rng, *tr._dev_data,
+                             tr._perm_key, 0, g_mask, ms, thresh, None, 0))
+    args = (tr._seg_rng, *tr._dev_data, tr._perm_key, g_mask, ms, thresh)
+    o1 = prod(_copy(tr.state), *args, zero, 0)
+    o2 = pall(_copy(tr.state), *args, zero, 0)
+    return o1, o2
+
+
+def _l2rel(a, b):
+    worst = 0.0
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        x = np.asarray(x, np.float64).ravel()
+        y = np.asarray(y, np.float64).ravel()
+        worst = max(worst, float(np.linalg.norm(x - y)
+                                 / (np.linalg.norm(x) + 1e-12)))
+    return worst
+
+
+def test_megakernel_matches_production_runner(tmp_path):
+    tr = _trainer(tmp_path)
+    assert tr.builder.use_ghost and tr.builder.labels_in_table
+    assert tr.builder.onehot_in_table
+    assert pallas_epoch.supports(tr.builder, True, 1)
+    (st1, _, d1, g1, c1, t1), (st2, _, d2, g2, c2, t2) = _run_pair(tr, k=2)
+
+    # Parameter/optimizer agreement after 2 epochs (10 steps) of identical
+    # randomness: reduce-order drift only.
+    assert _l2rel(st1.d_params, st2.d_params) < 2e-3
+    assert _l2rel(st1.g_params, st2.g_params) < 2e-3
+    assert _l2rel(st1.d_opt_state[0].mu, st2.d_opt_state[0].mu) < 2e-3
+    assert _l2rel(st1.g_opt_state[0].nu, st2.g_opt_state[0].nu) < 2e-3
+    assert int(st1.d_opt_state[0].count) == int(st2.d_opt_state[0].count)
+    assert int(st1.g_opt_state[0].count) == int(st2.g_opt_state[0].count)
+
+    # Metric sums: same keys, near-identical values (losses depend on the
+    # identical z/noise streams, so agreement here pins the whole prep).
+    assert set(d1) == set(d2) and set(g1) == set(g2)
+    for kk in d1:
+        np.testing.assert_allclose(np.asarray(d1[kk]), np.asarray(d2[kk]),
+                                   rtol=2e-4, atol=1e-4, err_msg=kk)
+    for kk in g1:
+        np.testing.assert_allclose(np.asarray(g1[kk]), np.asarray(g2[kk]),
+                                   rtol=2e-4, atol=1e-4, err_msg=kk)
+    assert int(c1) == int(c2)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_megakernel_folds_acc_in(tmp_path):
+    """acc_in metric sums must carry through (cross-dispatch accumulation)."""
+    tr = _trainer(tmp_path)
+    b = tr.builder
+    n = len(tr.dataloader)
+    pall = pallas_epoch.build_pallas_epochs_runner(b, 1, n, interpret=True)
+    g_mask = jnp.ones((n,), bool)
+    thresh = jnp.zeros(())
+    ms = jnp.zeros(())
+    zero = tr._get_zero_acc(True, tr._get_runner(True),
+                            (tr.state, tr._seg_rng, *tr._dev_data,
+                             tr._perm_key, 0, g_mask, ms, thresh, None, 0))
+    args = (tr._seg_rng, *tr._dev_data, tr._perm_key, g_mask, ms, thresh)
+    _, _, d1, g1, c1, _ = pall(_copy(tr.state), *args, zero, 0)
+    seeded = (jax.tree_util.tree_map(lambda x: x + 1.0, d1),
+              jax.tree_util.tree_map(lambda x: x + 1.0, g1),
+              c1 + 3)
+    _, _, d2, g2, c2, _ = pall(_copy(tr.state), *args, seeded, 0)
+    for kk in d1:
+        np.testing.assert_allclose(np.asarray(d2[kk]),
+                                   np.asarray(d1[kk]) * 2 + 1.0,
+                                   rtol=1e-5, err_msg=kk)
+    assert int(c2) == 2 * int(c1) + 3
+
+
+@pytest.mark.parametrize("extra,reason", [
+    (("-gcm", "constant-pl"), "per-layer clipping"),
+    (("--n_d_steps", "2"), "G cadence"),
+    (("--train_d_until_threshold", "0"), "threshold gating"),
+    (("-wd", "0.1"), "weight decay"),
+])
+def test_supports_gates(tmp_path, extra, reason):
+    tr = _trainer(tmp_path, extra)
+    assert not pallas_epoch.supports(tr.builder, True, 1), reason
+
+
+def test_supports_rejects_non_dp_and_multidevice(tmp_path):
+    tr = _trainer(tmp_path)
+    assert not pallas_epoch.supports(tr.builder, False, 1)
+    assert not pallas_epoch.supports(tr.builder, True, 8)
