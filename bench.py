@@ -129,9 +129,16 @@ def bench_celeba_jax(bf16: bool = False) -> float:
     n_iters, n_trials = 200, 3
 
     def loop(st, key):
+        # Production parity: between G updates the segment scan feeds the
+        # D steps a carried pre-collapsed phase-kernel cache (--phase_carry,
+        # segment_runner.py); this D-only scan computes it once per
+        # dispatch the same way.
+        pcache = builder.phase_collapse(st.g_params)
+
         def body(carry, i):
             st, m = builder._d_core(carry, x, y, x, y, x, y,
-                                    jax.random.fold_in(key, i), True, None)
+                                    jax.random.fold_in(key, i), True, None,
+                                    pcache)
             return st, m["d_adv_loss"]
         st, losses = jax.lax.scan(body, st, jnp.arange(n_iters))
         return builder._constrain_state(st), losses[-1]
@@ -416,10 +423,160 @@ def bench_torch_cpu() -> float:
     return sps
 
 
+# ---------------- same-session A/B harness (bench.py --ab) ----------------
+
+def _ab_variant(workload: str, extra_flags: str, tag: str):
+    """Build one A/B variant: returns trial() -> seconds per unit (step or
+    epoch; first call includes compile). Each variant gets FRESH function
+    objects/closures, so the two variants can never alias a jit-cache entry
+    (the round-3 pitfall: re-jitting the SAME callable after flipping a
+    module flag silently reuses the first executable — RESULTS.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csl_gan_tpu import options
+
+    extra = extra_flags.split() if extra_flags else []
+
+    if workload in ("celeba", "celeba_g"):
+        from csl_gan_tpu.models.registry import init_models
+        from csl_gan_tpu.training.steps import TrainStepBuilder
+
+        b = 128
+        opt = options.parse([
+            "CelebA", "--conditional", "-dpm", "gc", "-bs", str(b),
+            "--manual_seed", "7", "-nms", "1", "--mean_sample_size", "8",
+            "--bf16", "true", *extra, "-o", f"/tmp/bench_ab_{tag}"])
+        (G, Gv), (D, Dv) = init_models(opt)
+        builder = TrainStepBuilder(opt, G, D)
+        state = builder.init_state(Gv, Dv)
+        k = jax.random.PRNGKey(0)
+        x = jax.random.uniform(k, (b, 64, 64, 3), minval=-1, maxval=1)
+        y = jax.random.randint(k, (b,), 0, 2)
+        n_iters = 200
+
+        if workload == "celeba":
+            def loop(st, key):
+                pcache = builder.phase_collapse(st.g_params)
+
+                def body(carry, i):
+                    st, m = builder._d_core(
+                        carry, x, y, x, y, x, y,
+                        jax.random.fold_in(key, i), True, None, pcache)
+                    return st, m["d_adv_loss"]
+                st, losses = jax.lax.scan(body, st, jnp.arange(n_iters))
+                return builder._constrain_state(st), losses[-1]
+        else:
+            def loop(st, key):
+                def body(carry, i):
+                    st, m = builder._g_step(carry,
+                                            jax.random.fold_in(key, i))
+                    return st, m["g_adv_loss"]
+                st, losses = jax.lax.scan(body, st, jnp.arange(n_iters))
+                return builder._constrain_state(st), losses[-1]
+
+        jloop = jax.jit(loop, donate_argnums=(0,))
+        holder = {"state": state, "t": 0}
+
+        def trial():
+            holder["t"] += 1
+            t0 = time.perf_counter()
+            st, last = jloop(holder["state"],
+                             jax.random.fold_in(k, holder["t"]))
+            holder["state"] = st
+            float(jax.device_get(last))
+            return (time.perf_counter() - t0) / n_iters
+
+        return trial
+
+    if workload in ("mnist", "celeba_train"):
+        from csl_gan_tpu.training.loop import Trainer
+        if workload == "mnist":
+            base = ["MNIST", "--conditional", "-dpm", "gc", "--sigma", "10",
+                    "-bs", str(BATCH), "-tss", "60000"]
+            n_epochs = 50
+        else:
+            base = ["CelebA", "--conditional", "-dpm", "gc", "-bs", "128",
+                    "-tss", str(128 * 100), "-nms", "1",
+                    "--mean_sample_size", "8", "--bf16", "true",
+                    "--train_d_until_threshold", "1e18"]
+            n_epochs = 2
+        opt = options.parse([
+            *base, "--manual_seed", "7", "-ne", "100000",
+            "--log_every", "100000000", "--sample_every", "100000000",
+            "--save_every", "1000000", *extra, "-o", f"/tmp/bench_ab_{tag}"])
+        trainer = Trainer(opt)
+        assert trainer._scan_mode()
+        steps = len(trainer.dataloader)
+        per_unit = n_epochs if workload == "mnist" else n_epochs * steps
+        holder = {"e": 0}
+
+        def trial():
+            t0 = time.perf_counter()
+            trainer._multi_epoch_scan(holder["e"], n_epochs)
+            holder["e"] += n_epochs
+            float(jax.device_get(jax.tree_util.tree_leaves(
+                trainer.state.d_params)[0].ravel()[0]))
+            return (time.perf_counter() - t0) / per_unit
+
+        return trial
+
+    raise SystemExit(f"unknown --ab workload {workload!r} "
+                     "(mnist | celeba | celeba_g | celeba_train)")
+
+
+def bench_ab(workload: str, flags_a: str, flags_b: str, n_trials: int = 4):
+    """Interleaved same-session A/B (VERDICT round-3 item 9): variants run
+    alternately in ONE relay session so relay-period drift hits both sides
+    equally; each side has fresh closures (distinct jit entries by
+    construction). Prints one JSON line with per-trial pairs and bests."""
+    import contextlib
+
+    import jax
+
+    from csl_gan_tpu.utils.misc import enable_compilation_cache
+    jax.config.update("jax_default_prng_impl", "rbg")
+    enable_compilation_cache()
+    jax.clear_caches()
+    with contextlib.redirect_stdout(sys.stderr):
+        ta = _ab_variant(workload, flags_a, "a")
+        tb = _ab_variant(workload, flags_b, "b")
+        unit = "ms/epoch" if workload == "mnist" else "ms/step"
+        wa, wb = ta(), tb()  # compile + first dispatch
+        log(f"A/B warmup (compile): a={wa * 1e3:.2f} b={wb * 1e3:.2f} {unit}")
+        pairs = []
+        for t in range(n_trials):
+            pa, pb = ta(), tb()
+            pairs.append((round(pa * 1e3, 3), round(pb * 1e3, 3)))
+            log(f"trial {t}: a={pa * 1e3:.2f} b={pb * 1e3:.2f} {unit}")
+    best_a = min(p[0] for p in pairs)
+    best_b = min(p[1] for p in pairs)
+    print(json.dumps({
+        "ab_workload": workload, "flags_a": flags_a, "flags_b": flags_b,
+        "unit": unit, "trials": pairs,
+        "best_a_ms": best_a, "best_b_ms": best_b,
+        "b_over_a": round(best_b / best_a, 4),
+    }))
+
+
 def main():
     import contextlib
 
     import jax
+
+    if "--ab" in sys.argv:
+        # bench.py --ab <workload> [--a "<flags>"] [--b "<flags>"] [--trials N]
+        import argparse
+        p = argparse.ArgumentParser()
+        p.add_argument("--ab", required=True,
+                       help="workload: mnist | celeba | celeba_g | "
+                            "celeba_train")
+        p.add_argument("--a", default="", help="extra CLI flags, variant A")
+        p.add_argument("--b", default="", help="extra CLI flags, variant B")
+        p.add_argument("--trials", type=int, default=4)
+        ns = p.parse_args()
+        bench_ab(ns.ab, ns.a, ns.b, ns.trials)
+        return
 
     from csl_gan_tpu.utils.misc import enable_compilation_cache
     # Production default (train.py main): rbg PRNG — 1.32x the MNIST epoch.

@@ -54,6 +54,91 @@ class _GroupNormRelu(nn.Module):
                                                 self.groups, self.eps)
 
 
+def collapse_phase_kernel(kernel, features):
+    """Collapse a [k, k, cin, f] kernel into the four phase kernels of the
+    fused upsample-conv, returned as one [mk, mk, cin, 4*f] conv kernel
+    (see _PhaseConv): output pixel (2i+a, 2j+b) reads upsampled pixel
+    (2i+a+dy, 2j+b+dx) = x[i + (a+dy)//2, j + (b+dx)//2] (floor division).
+
+    Module-level so the segment runner can recompute caches from a bare
+    param tree (collapse_phase_kernels) with EXACTLY the math _PhaseConv
+    uses inline — bit-identical training between the carried-cache and
+    inline paths depends on this being the same computation.
+    """
+    k = kernel.shape[0]
+    r = (k - 1) // 2
+    cin = kernel.shape[2]
+    m_lo = (0 - r) // 2
+    m_hi = (1 + r) // 2
+    mk = m_hi - m_lo + 1
+    # Static 0/1 tap-collapse map: amap[a, dy+r, p] = 1 iff full-res tap
+    # dy of phase a lands on low-res tap p. One einsum replaces the
+    # k^2 x 4 per-tap scatter-adds of the naive construction (which
+    # traced ~100 ops per conv call — dominating CelebA graph traces —
+    # and bloated the compiled graph the same way).
+    amap = np.zeros((2, k, mk), np.float32)
+    for a in (0, 1):
+        for dy in range(-r, r + 1):
+            amap[a, dy + r, (a + dy) // 2 - m_lo] = 1.0
+    if os.environ.get("CSL_PHASE_COLLAPSE") == "einsum":
+        # Previous form, kept A/B-able: direct 6-D einsum. Its fused
+        # backward (tap contraction + Adam) ran at ~1 ms per [5,5,C,C]
+        # layer on v5e — the [5,5,C,C]/pqcabf intermediates tile poorly.
+        amap_j = jnp.asarray(amap, kernel.dtype)
+        k4 = jnp.einsum("ayp,bxq,yxcf->pqcabf", amap_j, amap_j, kernel,
+                        precision=lax.Precision.HIGHEST)
+        return k4.reshape(mk, mk, cin, 4 * features)
+    # MXU form: one static [k^2, mk^2*4] 0/1 matrix applied to the
+    # kernel flattened to [k^2, cin*f] — the big (cin*f) axis stays
+    # minor and contiguous through the whole transform (fwd AND its
+    # transpose in the backward), so XLA lowers it as one clean
+    # matmul instead of a badly-tiled 6-D contraction.
+    # Rows (y, x); columns ordered (p, q, a, b).
+    tapmat = np.einsum("ayp,bxq->yxpqab", amap, amap)
+    tapmat = jnp.asarray(tapmat.reshape(k * k, mk * mk * 4),
+                         kernel.dtype)
+    k4_flat = jnp.matmul(tapmat.T, kernel.reshape(k * k, -1),
+                         precision=lax.Precision.HIGHEST)
+    # [p, q, a, b, c, f] -> [p, q, c, a, b, f]; the transpose sits
+    # next to the conv's own kernel relayout and fuses there.
+    k4 = k4_flat.reshape(mk, mk, 2, 2, cin, features)
+    k4 = k4.transpose(0, 1, 4, 2, 3, 5)
+    return k4.reshape(mk, mk, cin, 4 * features)
+
+
+def collapse_phase_kernels(g_params):
+    """Build the "phase_cache" collection for a DCResNet generator param
+    tree: {module path of each fused upsample-conv: {"k4": collapsed}}.
+
+    Phase convs live at .../UpsampleConv_*/TorchConv_0/Conv_0 with a
+    k>1 kernel (the UpsampleConv_0 1x1 shortcut runs conv-then-upsample
+    and has no phase form; ResBlockUp's plain final conv sits directly
+    under TorchConv_0 with no UpsampleConv parent). Returns {} when the
+    tree has no phase convs (ref_pixel_shuffle mode, non-DCResNet G);
+    tests/test_models.py pins cache-fed == inline outputs exactly.
+    """
+    def walk(node, path):
+        if not isinstance(node, dict) or "kernel" in node:
+            if (isinstance(node, dict) and "kernel" in node
+                    and len(path) >= 3
+                    and path[-1] == "Conv_0"
+                    and path[-2] == "TorchConv_0"
+                    and path[-3].startswith("UpsampleConv")
+                    and getattr(node["kernel"], "ndim", 0) == 4
+                    and node["kernel"].shape[0] > 1):
+                return {"k4": collapse_phase_kernel(
+                    node["kernel"], node["kernel"].shape[-1])}
+            return None
+        out = {}
+        for key, sub in node.items():
+            r = walk(sub, path + (key,))
+            if r is not None:
+                out[key] = r
+        return out or None
+
+    return walk(dict(g_params), ()) or {}
+
+
 class _PhaseConv(nn.Module):
     """Param-owning core of the fused upsample-conv (stands in for the
     nn.Conv inside TorchConv: same name, param names, shapes, and inits, so
@@ -92,46 +177,19 @@ class _PhaseConv(nn.Module):
                     kk, s, d, -bound, bound),
                 (self.features,))
 
-        # Collapse the k x k kernel into 4 phase kernels of size mk x mk:
-        # output pixel (2i+a, 2j+b) reads upsampled pixel (2i+a+dy, 2j+b+dx)
-        # = x[i + (a+dy)//2, j + (b+dx)//2] (floor division).
-        m_lo = (0 - r) // 2
-        m_hi = (1 + r) // 2
-        mk = m_hi - m_lo + 1
-        # Static 0/1 tap-collapse map: amap[a, dy+r, p] = 1 iff full-res tap
-        # dy of phase a lands on low-res tap p. One einsum replaces the
-        # k^2 x 4 per-tap scatter-adds of the naive construction (which
-        # traced ~100 ops per conv call — dominating CelebA graph traces —
-        # and bloated the compiled graph the same way).
-        amap = np.zeros((2, k, mk), np.float32)
-        for a in (0, 1):
-            for dy in range(-r, r + 1):
-                amap[a, dy + r, (a + dy) // 2 - m_lo] = 1.0
-        if os.environ.get("CSL_PHASE_COLLAPSE") == "einsum":
-            # Previous form, kept A/B-able: direct 6-D einsum. Its fused
-            # backward (tap contraction + Adam) ran at ~1 ms per [5,5,C,C]
-            # layer on v5e — the [5,5,C,C]/pqcabf intermediates tile poorly.
-            amap_j = jnp.asarray(amap, kernel.dtype)
-            k4 = jnp.einsum("ayp,bxq,yxcf->pqcabf", amap_j, amap_j, kernel,
-                            precision=lax.Precision.HIGHEST)
-            k4 = k4.reshape(mk, mk, cin, 4 * self.features)
+        if self.has_variable("phase_cache", "k4"):
+            # Pre-collapsed kernels supplied by the caller: the segment
+            # runner carries collapse_phase_kernels(g_params) across D
+            # steps and recomputes it only on G updates — the collapse is
+            # a weight-only transform that otherwise re-runs inside EVERY
+            # D step's fresh-fake G forward (~0.3-0.4 ms/step on the
+            # CelebA bf16 flagship, round-3 scan-form trace). Only valid
+            # when gradients need not flow to `kernel` (the D steps
+            # stop_gradient the fakes; the G update computes the collapse
+            # inline from params so its grads are exact).
+            k4 = self.get_variable("phase_cache", "k4")
         else:
-            # MXU form: one static [k^2, mk^2*4] 0/1 matrix applied to the
-            # kernel flattened to [k^2, cin*f] — the big (cin*f) axis stays
-            # minor and contiguous through the whole transform (fwd AND its
-            # transpose in the backward), so XLA lowers it as one clean
-            # matmul instead of a badly-tiled 6-D contraction.
-            # Rows (y, x); columns ordered (p, q, a, b).
-            tapmat = np.einsum("ayp,bxq->yxpqab", amap, amap)
-            tapmat = jnp.asarray(tapmat.reshape(k * k, mk * mk * 4),
-                                 kernel.dtype)
-            k4_flat = jnp.matmul(tapmat.T, kernel.reshape(k * k, -1),
-                                 precision=lax.Precision.HIGHEST)
-            # [p, q, a, b, c, f] -> [p, q, c, a, b, f]; the transpose sits
-            # next to the conv's own kernel relayout and fuses there.
-            k4 = k4_flat.reshape(mk, mk, 2, 2, cin, self.features)
-            k4 = k4.transpose(0, 1, 4, 2, 3, 5)
-            k4 = k4.reshape(mk, mk, cin, 4 * self.features)
+            k4 = collapse_phase_kernel(kernel, self.features)
 
         # Same dtype rule as nn.Conv/promote_dtype: with dtype=None, inputs
         # and params promote to a common type (raw lax.conv does not).
@@ -140,7 +198,7 @@ class _PhaseConv(nn.Module):
             cdtype = jnp.result_type(x.dtype, kernel.dtype)
         x = x.astype(cdtype)
         k4 = k4.astype(cdtype)
-        pad = -m_lo
+        pad = -((0 - r) // 2)
         # No preferred_element_type: like nn.Conv, output dtype == cdtype
         # (the MXU still accumulates fp32 internally for bf16 inputs), and
         # the conv transpose rule then sees matching cotangent/kernel dtypes.

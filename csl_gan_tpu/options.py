@@ -376,6 +376,29 @@ def build_parser() -> argparse.ArgumentParser:
                              "(no [B,P] materialization), which profiles "
                              "faster for these models; the kernel wins only "
                              "when per-sample grads are materialized anyway.")
+    parser.add_argument("--stop_on_g_freeze", type=int, default=0,
+                        help="Stop training (with a normal final checkpoint) "
+                             "after N consecutive logging intervals with "
+                             "ZERO G updates. The reference's forced "
+                             "train_d_until_threshold=-1 for DP DCResNet "
+                             "runs freezes G once the noised D stops "
+                             "reaching the threshold (RESULTS.md utility "
+                             "study: epochs after the freeze spend privacy "
+                             "budget with no G progress; stopping at the "
+                             "freeze point reaches the same FID at ~2/3 "
+                             "the epsilon). 0 = off (reference parity). "
+                             "Counts G updates per logging interval, so "
+                             "set N with the log cadence in mind (and "
+                             ">= 1 G cadence point per interval).")
+    parser.add_argument("--phase_carry", type=str2bool, default=True,
+                        help="Carry the DCResNet G's collapsed phase-conv "
+                             "kernels across D steps in the interval scan "
+                             "(recomputed only on G updates). The collapse "
+                             "is a weight-only transform that otherwise "
+                             "re-runs inside every D step's fresh-fake G "
+                             "forward (~0.3-0.4 ms/step on the CelebA bf16 "
+                             "flagship). Bit-identical training either way "
+                             "(tests/test_segment_runner.py).")
     parser.add_argument("--pallas_epoch", type=str2bool, default=True,
                         help="Run whole epochs of the MNIST vanilla DP "
                              "flagship as ONE Pallas megakernel (params and "

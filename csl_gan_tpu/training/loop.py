@@ -259,6 +259,11 @@ class Trainer:
         # True IS-sensitivity interval extremes in scan mode.
         self._is_min = None
         self._is_max = None
+        # --stop_on_g_freeze: consecutive logging intervals with zero G
+        # updates (checked in _flush_log; run() stops at the next epoch
+        # group boundary and writes the normal final checkpoint).
+        self._g_freeze_streak = 0
+        self._g_freeze_stop = False
         # Exact Poisson subsampling (--poisson): per-step device-side draw.
         self._poisson_draw = None
         if self.builder.poisson:
@@ -785,6 +790,20 @@ class Trainer:
                 self.logger.interval / self.logger.log_g_iter
             self.logger.stats[stat] = np.asarray(
                 jax.device_get(self.logger.stats[stat])) * scale
+        n_freeze = opt_get(self.opt, "stop_on_g_freeze", 0) or 0
+        if n_freeze > 0:
+            if int(self.logger.log_g_iter) == 0:
+                self._g_freeze_streak += 1
+                if self._g_freeze_streak >= n_freeze \
+                        and not self._g_freeze_stop:
+                    self._g_freeze_stop = True
+                    print(f"G frozen for {self._g_freeze_streak} consecutive "
+                          "logging intervals (zero G updates; "
+                          "train_d_until_threshold gating) — stopping after "
+                          "this epoch group (--stop_on_g_freeze "
+                          f"{n_freeze}).", flush=True)
+            else:
+                self._g_freeze_streak = 0
         self.logger.log_g_iter = 0
         # Pull remaining device stats once.
         for k, v in self.logger.stats.items():
@@ -918,6 +937,8 @@ class Trainer:
 
                     if opt.use_dp and opt.epsilon_budget is not None and \
                             eps > opt.epsilon_budget:
+                        stop = True
+                    if self._g_freeze_stop:
                         stop = True
 
                     if (e + 1) % opt.save_every == 0:

@@ -135,6 +135,14 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
         perm = _resolve_perm(perm, images.shape[0], epoch)
         n = g_mask.shape[0]
 
+        # Phase-collapse carry (steps.py use_phase_carry): the fused
+        # upsample-conv kernel collapse is a weight-only transform of G
+        # params, so the D steps' fresh-fake G forwards can consume a
+        # pre-collapsed cache that rides the scan carry; it is recomputed
+        # only inside the G-update branch (and once here per dispatch).
+        # None when inapplicable — the carry slot is then an empty pytree.
+        pcache0 = builder.phase_collapse(state.g_params)
+
         # Every step's subkeys derive POSITIONALLY, outside the scan, in
         # one batched fold_in: subkey (i, j) = fold_in(fold_in(rng, epoch),
         # (start + i) * 8 + j). The old per-step jax.random.split chains
@@ -154,7 +162,7 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
         step_keys = jax.vmap(jax.vmap(
             lambda t: jax.random.fold_in(base, t)))(cols)
 
-        def step_core(state, d_acc, i, g_cad, kk):
+        def step_core(state, d_acc, i, g_cad, kk, pcache):
             k_dd, k_gg = kk[0:3], kk[3:5]
             k_pen, k_ad, k_pp = kk[5], kk[6], kk[7]
             valid = None
@@ -192,34 +200,40 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
                 ax, ay = x, y
 
             state, dm = builder._d_core(state, x, y, pen_x, pen_y, ax, ay,
-                                        k_dd, use_dp, valid)
+                                        k_dd, use_dp, valid, pcache)
             d_acc = d_acc + dm["d_adv_loss"]
             if use_threshold:
                 g_on = jnp.logical_and(g_cad, d_acc / n_d < threshold)
             else:
                 g_on = g_cad
 
-            def do_g(st):
-                return builder._g_step(st, k_gg)
+            def do_g(op):
+                st, pc = op
+                st, gm = builder._g_step(st, k_gg)
+                if pc is not None:
+                    pc = builder.phase_collapse(st.g_params)
+                return st, gm, pc
 
-            def skip_g(st):
+            def skip_g(op):
+                st, pc = op
                 zeros = {"g_adv_loss": jnp.asarray(0.0)}
                 if builder.is_acgan:
                     zeros["g_aux_loss"] = jnp.asarray(0.0)
                     zeros["g_aux_acc"] = jnp.asarray(0.0)
-                return st, zeros
+                return st, zeros, pc
 
             if full_cadence:
                 # Caller guarantees g_on is always True; skip the
                 # conditional (TPU pipeline flush) entirely.
-                state, gm = do_g(state)
+                state, gm, pcache = do_g((state, pcache))
                 g_on = jnp.bool_(True)
             else:
-                state, gm = jax.lax.cond(g_on, do_g, skip_g, state)
+                state, gm, pcache = jax.lax.cond(g_on, do_g, skip_g,
+                                                 (state, pcache))
             # The accumulator resets at every cadence point, trained or
             # not (reference train.py:533 zeroes it after the decision).
             d_acc = jnp.where(g_cad, 0.0, d_acc)
-            return state, d_acc, dm, gm, g_on
+            return state, d_acc, dm, gm, g_on, pcache
 
         # Metric SUMS ride the scan carry instead of being stacked into
         # [n]-buffers and summed afterwards: per-step dynamic-update-
@@ -227,9 +241,9 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
         # fraction of the (launch-overhead-bound) MNIST scan body.
         # The structure of one step's metrics comes from eval_shape
         # (trace-time only, no compute).
-        dm_s, gm_s, _ = jax.eval_shape(
+        dm_s, gm_s = jax.eval_shape(
             lambda s, a, kk: step_core(s, a, jnp.int32(0),
-                                       jnp.bool_(True), kk)[2:],
+                                       jnp.bool_(True), kk, pcache0)[2:4],
             state, d_loss_acc, step_keys[0])
         zeros = lambda t: jax.tree.map(
             lambda x: jnp.zeros(x.shape, x.dtype), t)
@@ -253,13 +267,13 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
             d0 = dict(d0)
             s_min0 = d0.pop("is_sens_min", jnp.zeros(()))
             s_max0 = d0.pop("is_sens_max", jnp.zeros(()))
-        carry0 = (state, d_loss_acc, d0, g0, n0, s_min0, s_max0)
+        carry0 = (state, d_loss_acc, d0, g0, n0, s_min0, s_max0, pcache0)
 
         def body(carry, inp):
-            state, d_acc, d_sum, g_sum, g_n, s_min, s_max = carry
+            state, d_acc, d_sum, g_sum, g_n, s_min, s_max, pcache = carry
             i, g_cad, kk = inp
-            state, d_acc, dm, gm, g_on = step_core(
-                state, d_acc, i, g_cad, kk)
+            state, d_acc, dm, gm, g_on, pcache = step_core(
+                state, d_acc, i, g_cad, kk, pcache)
             d_sum = jax.tree.map(jnp.add, d_sum, dm)
             g_sum = jax.tree.map(jnp.add, g_sum, gm)
             g_n = g_n + g_on.astype(jnp.int32)
@@ -269,11 +283,11 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
                 s_min = jnp.minimum(s_min, dm["is_sens"])
                 s_max = jnp.maximum(s_max, dm["is_sens"])
             return (state, d_acc, d_sum, g_sum, g_n, s_min,
-                    s_max), None
+                    s_max, pcache), None
 
         (state, d_loss_acc, d_sums, g_sums, g_count, s_min,
-         s_max), _ = jax.lax.scan(body, carry0,
-                                  (jnp.arange(n), g_mask, step_keys))
+         s_max, _), _ = jax.lax.scan(body, carry0,
+                                     (jnp.arange(n), g_mask, step_keys))
         state = builder._constrain_state(state)
         if track_is:
             d_sums["is_sens_min"] = s_min

@@ -187,6 +187,18 @@ class TrainStepBuilder:
                              and self.dp_mode == "gc" and not self.per_layer
                              and self.chunk is None and not self.use_bpc
                              and self.compute_dtype is None)
+        # Phase-collapse carry (--phase_carry): the fused upsample-conv's
+        # weight-only kernel collapse (models/dcresnet.py
+        # collapse_phase_kernel) re-runs inside every D step's fresh-fake
+        # G forward although G params change only on G updates. The segment
+        # runner carries collapse_phase_kernels(g_params) across D steps and
+        # recomputes it inside the G-update cond; _fake_images feeds it to
+        # _PhaseConv via the "phase_cache" collection. ref_pixel_shuffle
+        # mode has no phase convs (the cache walker returns {}).
+        from csl_gan_tpu.models.dcresnet import DCResNetGenerator
+        self.use_phase_carry = (isinstance(G, DCResNetGenerator)
+                                and not getattr(G, "ref_ps", False)
+                                and bool(opt_get(opt, "phase_carry", True)))
 
         # Installed by the Trainer under --fsdp (parallel/mesh.py
         # MeshContext.constrain_state): pins each jitted step's output
@@ -298,8 +310,13 @@ class TrainStepBuilder:
         return self.D.apply({"params": d_params}, x,
                             y if self.conditional else None, **kwargs)
 
-    def _fake_images(self, state: TrainState, z, y):
+    def _fake_images(self, state: TrainState, z, y, phase_cache=None):
         variables = {"params": state.g_params}
+        if phase_cache:
+            # Pre-collapsed phase kernels from the segment-scan carry (see
+            # use_phase_carry). Safe here because the fakes are
+            # stop_gradient'd — no grads flow to the G kernels.
+            variables["phase_cache"] = phase_cache
         if self.g_has_bn:
             variables["batch_stats"] = state.g_batch_stats
             img, upd = self.G.apply(variables, z, y, train=True,
@@ -307,6 +324,14 @@ class TrainStepBuilder:
             return jax.lax.stop_gradient(img), upd["batch_stats"]
         img = self.G.apply(variables, z, y, train=True)
         return jax.lax.stop_gradient(img), state.g_batch_stats
+
+    def phase_collapse(self, g_params):
+        """The "phase_cache" collection for the current G params, or None
+        when the carry is inapplicable/disabled (see use_phase_carry)."""
+        if not self.use_phase_carry:
+            return None
+        from csl_gan_tpu.models.dcresnet import collapse_phase_kernels
+        return collapse_phase_kernels(g_params) or None
 
     def gen_z(self, key, size):
         return jax.random.normal(key, (size, self.latent))
@@ -402,12 +427,13 @@ class TrainStepBuilder:
 
     # ---------------- D step: non-private ----------------
 
-    def _d_step_plain(self, state: TrainState, x, y, pen_x, pen_y, rng):
+    def _d_step_plain(self, state: TrainState, x, y, pen_x, pen_y, rng,
+                      phase_cache=None):
         b = x.shape[0]
         ks = key_rows(rng, 2)
         k_z, k_pen = ks[0], ks[1]
         z = self.gen_z(k_z, b)
-        fake_img, g_stats = self._fake_images(state, z, y)
+        fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
         row_w = self._row_weights(y) if self.conditional else None
 
         def loss_fn(d_params):
@@ -617,7 +643,7 @@ class TrainStepBuilder:
         return jnp.sqrt(jnp.sum(stat ** 2)) * self.adaptive_scalar
 
     def _d_step_gc(self, state: TrainState, x, y, pen_x, pen_y, ax, ay, rng,
-                   valid=None):
+                   valid=None, phase_cache=None):
         b = x.shape[0]
         # Under Poisson subsampling (valid mask set), division and penalty
         # scaling use the EXPECTED batch size (standard Poisson DP-SGD).
@@ -625,7 +651,7 @@ class TrainStepBuilder:
         ks = key_rows(rng, 3)
         k_z, k_noise, k_pen = ks[0], ks[1], ks[2]
         z = self.gen_z(k_z, b)
-        fake_img, g_stats = self._fake_images(state, z, y)
+        fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
         row_w = self._row_weights(y, valid) if self.conditional else None
 
         clipping = state.clipping
@@ -776,12 +802,13 @@ class TrainStepBuilder:
 
     # ---------------- D step: immediate sensitivity DP ----------------
 
-    def _d_step_is(self, state: TrainState, x, y, pen_x, pen_y, rng):
+    def _d_step_is(self, state: TrainState, x, y, pen_x, pen_y, rng,
+                   phase_cache=None):
         b = x.shape[0]
         ks = key_rows(rng, 3)
         k_z, k_noise, k_pen = ks[0], ks[1], ks[2]
         z = self.gen_z(k_z, b)
-        fake_img, g_stats = self._fake_images(state, z, y)
+        fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
 
         def total_loss(d_params, x_in):
             f_out, f_aux = self._d_apply(d_params, fake_img, y,
@@ -860,12 +887,13 @@ class TrainStepBuilder:
 
     # ---------------- D step: trimmed-mean / sign-vote (experimental) -----
 
-    def _d_step_tmsv(self, state: TrainState, x, y, pen_x, pen_y, rng):
+    def _d_step_tmsv(self, state: TrainState, x, y, pen_x, pen_y, rng,
+                      phase_cache=None):
         b = x.shape[0]
         ks = key_rows(rng, 3)
         k_z, k_noise, k_pen = ks[0], ks[1], ks[2]
         z = self.gen_z(k_z, b)
-        fake_img, g_stats = self._fake_images(state, z, y)
+        fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
         row_w = self._row_weights(y) if self.conditional else None
 
         f, args = self._combined_ps_args(x, y, fake_img, row_w)
@@ -947,16 +975,19 @@ class TrainStepBuilder:
     # ---------------- segment runner (device-side interval scan) ---------
 
     def _d_core(self, state, x, y, pen_x, pen_y, ax, ay, rng, use_dp: bool,
-                valid=None):
+                valid=None, phase_cache=None):
         """Static dispatch over the per-batch D update variants."""
         if use_dp and self.dp_mode == "gc":
             return self._d_step_gc(state, x, y, pen_x, pen_y, ax, ay, rng,
-                                   valid)
+                                   valid, phase_cache)
         if use_dp and self.dp_mode == "is":
-            return self._d_step_is(state, x, y, pen_x, pen_y, rng)
+            return self._d_step_is(state, x, y, pen_x, pen_y, rng,
+                                   phase_cache)
         if use_dp and self.dp_mode in ("tm", "sv"):
-            return self._d_step_tmsv(state, x, y, pen_x, pen_y, rng)
-        return self._d_step_plain(state, x, y, pen_x, pen_y, rng)
+            return self._d_step_tmsv(state, x, y, pen_x, pen_y, rng,
+                                     phase_cache)
+        return self._d_step_plain(state, x, y, pen_x, pen_y, rng,
+                                  phase_cache)
 
     def build_segment_runner(self, use_dp: bool, mean_sample_fn=None,
                              preprocess=None, batch_sharding=None,

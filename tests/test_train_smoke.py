@@ -132,3 +132,31 @@ def test_seed_replay_is_deterministic(tmp_path):
         assert f1.read() == f2.read()
     with open(outs[0] + "log.csv") as f1, open(outs[1] + "log.csv") as f2:
         assert f1.read() == f2.read()
+
+
+def test_stop_on_g_freeze(tmp_path):
+    """--stop_on_g_freeze N must end training after N consecutive logging
+    intervals with zero G updates (utility-study operating point: stop
+    spending epsilon once the threshold gate has frozen G), writing the
+    normal final checkpoint; without the flag the same config runs all
+    epochs frozen."""
+    import csv
+
+    def rows(out):
+        with open(out + "/log.csv") as f:
+            return [r for r in csv.reader(f) if r and r[0] != "Epoch"]
+
+    # threshold=-1e9 is never reached, so G never updates (freeze from
+    # epoch 1). One logging interval per epoch.
+    base = ["MNIST", "-dpm", "gc", "-tss", "200", "-bs", "50",
+            "--manual_seed", "2", "-ne", "6", "--log_every", "200",
+            "--sample_every", "100000", "--save_every", "100",
+            "--train_d_until_threshold=-1e9"]
+    out = str(tmp_path / "freeze")
+    train_cli.main([*base, "--stop_on_g_freeze", "2", "-o", out])
+    assert len(rows(out)) == 2          # stopped after 2 frozen intervals
+    assert os.path.exists(out + "/saves/G-2")  # normal final save written
+
+    out2 = str(tmp_path / "nofreeze")
+    train_cli.main([*base, "-o", out2])
+    assert len(rows(out2)) == 6         # reference parity: runs to n_epochs
