@@ -542,8 +542,10 @@ def bench_ab(workload: str, flags_a: str, flags_b: str, n_trials: int = 4):
         ta = _ab_variant(workload, flags_a, "a")
         tb = _ab_variant(workload, flags_b, "b")
         unit = "ms/epoch" if workload == "mnist" else "ms/step"
-        wa, wb = ta(), tb()  # compile + first dispatch
-        log(f"A/B warmup (compile): a={wa * 1e3:.2f} b={wb * 1e3:.2f} {unit}")
+        wa = ta()  # compile + first dispatch
+        log(f"A/B warmup a (compile + first dispatch): {wa * 1e3:.2f} {unit}")
+        wb = tb()
+        log(f"A/B warmup b (compile + first dispatch): {wb * 1e3:.2f} {unit}")
         pairs = []
         for t in range(n_trials):
             pa, pb = ta(), tb()

@@ -42,16 +42,19 @@ class _GroupNormRelu(nn.Module):
     module's docstring); stats always fp32, output in x.dtype."""
     groups: int = 32
     eps: float = 1e-5
+    phase_tiles: int = 1   # channel axis = phase_tiles stacked copies of C
+    #                        (raw [N,H,W,4F] fused-upsample-conv output)
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        c = x.shape[-1] // self.phase_tiles
         scale = self.param("scale", nn.initializers.ones_init(), (c,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (c,),
                           jnp.float32)
         return pallas_groupnorm.group_norm_relu(x, scale, bias,
-                                                self.groups, self.eps)
+                                                self.groups, self.eps,
+                                                tiles=self.phase_tiles)
 
 
 def collapse_phase_kernel(kernel, features):
@@ -159,6 +162,10 @@ class _PhaseConv(nn.Module):
     use_bias: bool = True
     dtype: object = None
     defer_d2s: bool = False
+    raw4: bool = False   # with defer_d2s: return the conv's raw
+    #                      [N, H, W, 4F] output (full-lane layout; the 6-D
+    #                      phase view halves lane utilization for F<128 and
+    #                      forces a relayout copy at the conv boundary)
 
     @nn.compact
     def __call__(self, x):
@@ -206,6 +213,15 @@ class _PhaseConv(nn.Module):
             x, k4, window_strides=(1, 1),
             padding=[(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.defer_d2s and self.raw4:
+            # Raw [N, H, W, 4F] phase-stacked output: channel = phase*F + f
+            # (the k4 column order), so the per-feature bias tiles 4x.
+            # The caller normalizes with _GroupNormRelu(phase_tiles=4) and
+            # the 6-D view first appears inside the final depth-to-space
+            # transpose (phase_d2s), where it is free.
+            if bias is not None:
+                o = o + jnp.tile(bias.astype(cdtype), 4)
+            return o
         n, h, w, _ = o.shape
         # (a, b, feature) minor order set by the k4 reshape; the bias is
         # per-feature, so adding it in phase layout is exact.
@@ -224,7 +240,12 @@ class _PhaseConv(nn.Module):
 
 
 def phase_d2s(o):
-    """Depth-to-space for a [N, H, W, 2, 2, F] phase-layout tensor."""
+    """Depth-to-space for a [N, H, W, 2, 2, F] phase-layout tensor, or a
+    raw [N, H, W, 4F] phase-stacked one (channel = (a*2+b)*F + f); the
+    reshape fuses into the transpose copy."""
+    if o.ndim == 4:
+        n, h, w, c4 = o.shape
+        o = o.reshape(n, h, w, 2, 2, c4 // 4)
     n, h, w = o.shape[:3]
     f = o.shape[-1]
     return o.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * w, f)
@@ -237,12 +258,14 @@ class _FusedUpConv(nn.Module):
     use_bias: bool = True
     dtype: object = None
     defer_d2s: bool = False
+    raw4: bool = False
 
     @nn.compact
     def __call__(self, x):
         return _PhaseConv(self.features, self.kernel_size,
                           use_bias=self.use_bias, dtype=self.dtype,
-                          defer_d2s=self.defer_d2s, name="Conv_0")(x)
+                          defer_d2s=self.defer_d2s, raw4=self.raw4,
+                          name="Conv_0")(x)
 
 
 class UpsampleConv(nn.Module):
@@ -258,6 +281,7 @@ class UpsampleConv(nn.Module):
     use_bias: bool = True
     dtype: object = None
     defer_d2s: bool = False   # k>1 only: return [N,H,W,2,2,F] phase layout
+    raw4: bool = False        # with defer_d2s: raw [N,H,W,4F] instead
     ref_ps: bool = False      # reference-interop: cat-x4 + pixel_shuffle
     #                           upsampling (channel-scrambled; see
     #                           common.ref_pixel_shuffle_upsample_2x)
@@ -283,7 +307,7 @@ class UpsampleConv(nn.Module):
                           use_bias=self.use_bias, dtype=self.dtype)(x))
         return _FusedUpConv(self.features, self.kernel_size,
                             use_bias=self.use_bias, dtype=self.dtype,
-                            defer_d2s=self.defer_d2s,
+                            defer_d2s=self.defer_d2s, raw4=self.raw4,
                             name="TorchConv_0")(x)
 
 
@@ -294,6 +318,10 @@ class ResBlockUp(nn.Module):
     bn: bool = True
     dtype: object = None
     ref_ps: bool = False
+    phase_gn4: bool = True   # GroupNorm_1 consumes the fused upsample-
+    #                          conv's raw [N,H,W,4F] output (phase_tiles=4)
+    #                          instead of the 6-D phase view — same math,
+    #                          full-lane layout (--phase_gn4)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -314,15 +342,19 @@ class ResBlockUp(nn.Module):
         # elementwise), so the values are identical and the depth-to-space
         # transpose moves next to its single consumer (the conv below)
         # instead of being materialized fp32 for the norm's reads.
+        # BatchNorm is per-channel over ALL other axes, which is only
+        # phase-correct in the 6-D view; the raw-4F form is GN-only.
+        use4 = self.phase_gn4 and not self.ref_ps and not self.bn
         o = UpsampleConv(self.features, self.kernel_size, use_bias=False,
                          dtype=self.dtype, defer_d2s=not self.ref_ps,
-                         ref_ps=self.ref_ps)(o)
+                         raw4=use4, ref_ps=self.ref_ps)(o)
         if self.bn:
             o = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
                              use_running_average=not train)(o.astype(jnp.float32))
             o = nn.relu(o)
         else:
-            o = _GroupNormRelu(name="GroupNorm_1")(o)
+            o = _GroupNormRelu(name="GroupNorm_1",
+                               phase_tiles=4 if use4 else 1)(o)
         if not self.ref_ps:   # ref_ps path is already full-res
             o = phase_d2s(o)
         o = TorchConv(self.features, self.kernel_size, padding="SAME",
@@ -342,6 +374,7 @@ class DCResNetGenerator(nn.Module):
     bn: bool = True
     dtype: object = None   # compute dtype (--bf16); params stay fp32
     ref_ps: bool = False   # reference-interop upsampling (see UpsampleConv)
+    phase_gn4: bool = True  # raw-4F GroupNorm in the upsample blocks
 
     family = "wgan"
 
@@ -363,7 +396,8 @@ class DCResNetGenerator(nn.Module):
 
         for ch in self.channels[1:]:
             x = ResBlockUp(ch, 5, bn=self.bn, dtype=self.dtype,
-                           ref_ps=self.ref_ps)(x, train=train)
+                           ref_ps=self.ref_ps,
+                           phase_gn4=self.phase_gn4)(x, train=train)
 
         if self.bn:
             x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,

@@ -75,6 +75,10 @@ def init_models(opt, init_G: bool = True, init_D: bool = True,
     G = G_vars = D = D_vars = None
     if init_G:
         g_kwargs = {}
+        if opt.model == "DeepConvResNet":
+            # Raw-4F GroupNorm in the upsample blocks (--phase_gn4; see
+            # models/dcresnet.py ResBlockUp.phase_gn4).
+            g_kwargs["phase_gn4"] = bool(opt_get(opt, "phase_gn4", True))
         if opt_get(opt, "ref_pixel_shuffle", False) and \
                 opt.model == "DeepConvResNet":
             # Reference-checkpoint interop (convert_reference_checkpoint.py):

@@ -220,9 +220,20 @@ def _gn_relu_pallas_bwd(groups, eps, res, dy3):
 _gn_relu_pallas.defvjp(_gn_relu_pallas_fwd, _gn_relu_pallas_bwd)
 
 
-def _gn_relu_xla(x, scale, bias, groups: int, eps: float):
+def _gn_relu_xla(x, scale, bias, groups: int, eps: float, tiles: int = 1):
     """Reference/fallback: flax-GroupNorm math (fp32 stats) + relu, output
     in x.dtype (autodiff backward).
+
+    ``tiles > 1``: the channel axis is ``tiles`` stacked copies of the
+    logical C channels (the fused upsample-conv's raw [N, H, W, 4F] output,
+    channel index = phase*F + f — models/dcresnet.py). Stats for logical
+    channel f pool the spatial axes AND the ``tiles`` phase copies: the
+    per-(B, tiles*C) spatial sums collapse over the tiny phase axis first,
+    and the [B, C] affine tiles back to [B, tiles*C]. Identical math to
+    reshaping to [..., 2, 2, F] and normalizing there (phases are spatial
+    positions), but every big-tensor op keeps the conv's own full-lane
+    layout — the 6-D phase view halves lane utilization for F=64 stages
+    and forced relayout copies at the conv/GN boundary.
 
     Layout-aware formulation: reduce over the SPATIAL axes per channel
     first (channel-minor, well-tiled, fuses into the producing pass with
@@ -235,7 +246,7 @@ def _gn_relu_xla(x, scale, bias, groups: int, eps: float):
     (~270 MB/step on the CelebA flagship); this form keeps every big
     tensor bf16 and channel-minor."""
     b = x.shape[0]
-    c = x.shape[-1]
+    c = x.shape[-1] // tiles
     sp_axes = tuple(range(1, x.ndim - 1))   # spatial axes, in place
     n_spatial = 1
     for d in x.shape[1:-1]:
@@ -244,9 +255,14 @@ def _gn_relu_xla(x, scale, bias, groups: int, eps: float):
     # No reshape anywhere on the big tensor — flattening (H, W) (or the
     # grouped [.., G, C/G] split) breaks the (8,128) tiling of the minor
     # dims and XLA materializes full relayout copies.
-    s_c = jnp.sum(x.astype(jnp.float32), axis=sp_axes)               # [B, C]
-    ss_c = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=sp_axes)  # [B, C]
-    n = n_spatial * (c // groups)
+    s_c = jnp.sum(x.astype(jnp.float32), axis=sp_axes)         # [B, tiles*C]
+    ss_c = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=sp_axes)
+    if tiles > 1:
+        # Collapse the phase copies on the tiny sums (channel f pools its
+        # `tiles` stacked copies).
+        s_c = jnp.sum(s_c.reshape(b, tiles, c), axis=1)        # [B, C]
+        ss_c = jnp.sum(ss_c.reshape(b, tiles, c), axis=1)
+    n = n_spatial * tiles * (c // groups)
     s_g = jnp.sum(s_c.reshape(b, groups, c // groups), axis=2)
     ss_g = jnp.sum(ss_c.reshape(b, groups, c // groups), axis=2)
     mu_g = s_g / n                                              # [B, G]
@@ -255,9 +271,15 @@ def _gn_relu_xla(x, scale, bias, groups: int, eps: float):
     # broadcast group stats back to channels ([B, C], tiny)
     mu_c = jnp.repeat(mu_g, c // groups, axis=1)
     rstd_c = jnp.repeat(rstd_g, c // groups, axis=1)
-    bcast = (b,) + (1,) * len(sp_axes) + (c,)
-    a = (rstd_c * scale[None, :]).reshape(bcast)
-    d_ = (bias[None, :] - mu_c * rstd_c * scale[None, :]).reshape(bcast)
+    bcast = (b,) + (1,) * len(sp_axes) + (c * tiles,)
+    a = rstd_c * scale[None, :]
+    d_ = bias[None, :] - mu_c * rstd_c * scale[None, :]
+    if tiles > 1:
+        # Tile the [B, C] affine back over the phase copies.
+        a = jnp.tile(a, (1, tiles))
+        d_ = jnp.tile(d_, (1, tiles))
+    a = a.reshape(bcast)
+    d_ = d_.reshape(bcast)
     # Apply the affine in x.dtype, with the f32->x.dtype convert as the LAST
     # op after an explicit broadcast_to. Op order is what autodiff
     # transposes: this way (a) the saved relu residual and every big
@@ -287,15 +309,18 @@ def _gn_relu_xla(x, scale, bias, groups: int, eps: float):
     return jnp.where(pos, z, jnp.zeros((), x.dtype))
 
 
-def group_norm_relu(x, scale, bias, groups: int = 32, eps: float = 1e-5):
+def group_norm_relu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
+                    tiles: int = 1):
     """relu(GroupNorm(x)) over the channel-last axis of NHWC (or [B, ..., C])
-    input; stats in fp32, output in x.dtype. Pallas-fused on single-device
-    TPU, identical-math XLA elsewhere."""
-    if x.shape[-1] % groups != 0:
+    input; stats in fp32, output in x.dtype. ``tiles``: phase-stacked
+    channel axis (see _gn_relu_xla). Pallas-fused on single-device
+    TPU (opt-in), identical-math XLA elsewhere."""
+    if (x.shape[-1] // tiles) % groups != 0:
         raise ValueError(
-            f"channels {x.shape[-1]} not divisible by {groups} groups")
-    if not use_pallas():
-        return _gn_relu_xla(x, scale, bias, groups, eps)
+            f"channels {x.shape[-1] // tiles} not divisible by "
+            f"{groups} groups")
+    if tiles > 1 or not use_pallas():
+        return _gn_relu_xla(x, scale, bias, groups, eps, tiles)
     b, c = x.shape[0], x.shape[-1]
     x3 = x.reshape(b, -1, c)
     y3 = _gn_relu_pallas(x3, scale.astype(jnp.float32),

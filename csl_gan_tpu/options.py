@@ -390,6 +390,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "Counts G updates per logging interval, so "
                              "set N with the log cadence in mind (and "
                              ">= 1 G cadence point per interval).")
+    parser.add_argument("--phase_gn4", type=str2bool, default=True,
+                        help="DCResNet G: the second GroupNorm of each "
+                             "upsample block consumes the fused "
+                             "upsample-conv's raw [N,H,W,4F] phase-stacked "
+                             "output (per-feature stats pool the 4 phase "
+                             "copies on the tiny per-channel sums) instead "
+                             "of the 6-D [N,H,W,2,2,F] phase view. Same "
+                             "math; the 6-D view halves lane utilization "
+                             "for F<128 stages and forces relayout copies "
+                             "at the conv/GN boundary.")
     parser.add_argument("--phase_carry", type=str2bool, default=True,
                         help="Carry the DCResNet G's collapsed phase-conv "
                              "kernels across D steps in the interval scan "

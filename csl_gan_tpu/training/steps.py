@@ -860,11 +860,14 @@ class TrainStepBuilder:
             n_leaves = len(jax.tree_util.tree_leaves(grads))
             stds = jnp.broadcast_to(self.sigma * sens, (n_leaves,))
 
-        leaves, treedef = jax.tree_util.tree_flatten(grads)
-        keys = jax.random.split(k_noise, len(leaves))
-        noised = [g + stds[i] * jax.random.normal(k, g.shape, g.dtype)
-                  for i, (g, k) in enumerate(zip(leaves, keys))]
-        grads = jax.tree_util.tree_unflatten(treedef, noised)
+        # One flat normal draw sliced per leaf (sigma folded into stds via
+        # per-layer semantics) instead of a split-keys + per-leaf-draw loop:
+        # ~3 RNG kernels instead of ~12 per step on the launch-bound MNIST
+        # is-mode scan (same treatment the gc path got; disjoint slices of
+        # one draw are independent normals, so the DP guarantee is
+        # unchanged — the per-seed stream differs, nothing persists it).
+        grads = gops.add_gaussian_noise(k_noise, grads, 1.0, stds,
+                                        per_layer=True)
 
         updates, d_opt = self.d_tx.update(grads, state.d_opt_state, state.d_params)
         d_params = optax.apply_updates(state.d_params, updates)

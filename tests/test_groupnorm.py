@@ -148,3 +148,57 @@ def test_bf16_backward_keeps_f32_accumulation():
             (invar,) = eqn.invars
             if invar.aval.shape == shape:
                 assert invar.aval.dtype == jnp.float32, eqn
+
+
+def test_gn4_matches_phase_layout():
+    """group_norm_relu(tiles=4) on the raw [N,H,W,4F] phase-stacked layout
+    must equal normalizing the 6-D [N,H,W,2,2,F] phase view (phases are
+    spatial positions; --phase_gn4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from csl_gan_tpu.ops.pallas_groupnorm import group_norm_relu
+
+    k = jax.random.PRNGKey(3)
+    f = 64
+    x4 = jax.random.normal(k, (2, 8, 8, 4 * f)) * 2 + 0.3
+    scale = jax.random.normal(jax.random.fold_in(k, 1), (f,))
+    bias = jax.random.normal(jax.random.fold_in(k, 2), (f,))
+    out4 = group_norm_relu(x4, scale, bias, groups=32, tiles=4)
+    x6 = x4.reshape(2, 8, 8, 2, 2, f)
+    out6 = group_norm_relu(x6, scale, bias, groups=32)
+    np.testing.assert_allclose(np.asarray(out4),
+                               np.asarray(out6.reshape(out4.shape)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gn4_generator_matches_6d():
+    """DCResNet G with phase_gn4 on vs off: same params, same outputs and
+    gradients (fp reassociation tolerance only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from csl_gan_tpu.models import dcresnet
+
+    G4 = dcresnet.mnist_dcrn_g(n_classes=10, emb_mode="concat", bn=False,
+                               phase_gn4=True)
+    G6 = dcresnet.mnist_dcrn_g(n_classes=10, emb_mode="concat", bn=False,
+                               phase_gn4=False)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 128))
+    y = jnp.arange(4) % 10
+    v = G4.init(jax.random.PRNGKey(0), z, y, train=True)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        G6.init(jax.random.PRNGKey(0), z, y, train=True))
+    np.testing.assert_allclose(np.asarray(G4.apply(v, z, y, train=True)),
+                               np.asarray(G6.apply(v, z, y, train=True)),
+                               rtol=1e-5, atol=2e-6)
+
+    def loss(G):
+        return lambda p: jnp.sum(
+            G.apply({"params": p}, z, y, train=True) ** 2)
+    g4 = jax.grad(loss(G4))(v["params"])
+    g6 = jax.grad(loss(G6))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g4),
+                    jax.tree_util.tree_leaves(g6)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -56,9 +56,14 @@ def main():
             return bld._constrain_state(st), losses[-1]
     else:
         def loop(st, key):
+            # Production parity: D steps between G updates consume the
+            # carried pre-collapsed phase kernels (--phase_carry).
+            pcache = bld.phase_collapse(st.g_params)
+
             def body(carry, i):
                 st, m = bld._d_core(carry, x, y, x, y, x, y,
-                                    jax.random.fold_in(key, i), True, None)
+                                    jax.random.fold_in(key, i), True, None,
+                                    pcache)
                 return st, m["d_adv_loss"]
             st, losses = jax.lax.scan(body, st, jnp.arange(n))
             return bld._constrain_state(st), losses[-1]
