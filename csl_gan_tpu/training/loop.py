@@ -594,7 +594,7 @@ class Trainer:
                 # XLA epochs runner (ops/pallas_epoch.py).
                 self._epoch_runners[key] = \
                     pallas_epoch.build_pallas_epochs_runner(
-                        self.builder, k, len(self.dataloader))
+                        self.builder, k, len(self.dataloader), use_dp)
                 return self._epoch_runners[key]
             mean_fn = (self.mean_sampler.device_sample_fn()
                        if self._dev_mean is not None else None)
