@@ -436,7 +436,36 @@ def _ab_variant(workload: str, extra_flags: str, tag: str):
 
     from csl_gan_tpu import options
 
-    extra = extra_flags.split() if extra_flags else []
+    # "ENV:NAME=value" tokens set trace-time environment knobs for this
+    # variant only: the assignments are applied around EVERY trial call
+    # (tracing happens inside the first one), and restored after, so the
+    # other variant never sees them.
+    tokens = extra_flags.split() if extra_flags else []
+    env = {}
+    extra = []
+    for t in tokens:
+        if t.startswith("ENV:") and "=" in t:
+            k, v = t[4:].split("=", 1)
+            env[k] = v
+        else:
+            extra.append(t)
+
+    def _with_env(fn):
+        if not env:
+            return fn
+
+        def wrapped():
+            old = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                return fn()
+            finally:
+                for k, v in old.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+        return wrapped
 
     if workload in ("celeba", "celeba_g"):
         from csl_gan_tpu.models.registry import init_models
@@ -487,7 +516,7 @@ def _ab_variant(workload: str, extra_flags: str, tag: str):
             float(jax.device_get(last))
             return (time.perf_counter() - t0) / n_iters
 
-        return trial
+        return _with_env(trial)
 
     if workload in ("mnist", "celeba_train"):
         from csl_gan_tpu.training.loop import Trainer
@@ -519,7 +548,7 @@ def _ab_variant(workload: str, extra_flags: str, tag: str):
                 trainer.state.d_params)[0].ravel()[0]))
             return (time.perf_counter() - t0) / per_unit
 
-        return trial
+        return _with_env(trial)
 
     raise SystemExit(f"unknown --ab workload {workload!r} "
                      "(mnist | celeba | celeba_g | celeba_train)")

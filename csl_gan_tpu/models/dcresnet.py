@@ -344,7 +344,12 @@ class ResBlockUp(nn.Module):
         # instead of being materialized fp32 for the norm's reads.
         # BatchNorm is per-channel over ALL other axes, which is only
         # phase-correct in the 6-D view; the raw-4F form is GN-only.
-        use4 = self.phase_gn4 and not self.ref_ps and not self.bn
+        # CSL_GN4_MAX_F (A/B knob): apply the raw-4F form only to blocks
+        # with features <= the given value — the 6-D view only wastes
+        # lanes when F < 128, so wide blocks may not benefit.
+        max_f = int(os.environ.get("CSL_GN4_MAX_F") or (1 << 30))
+        use4 = (self.phase_gn4 and not self.ref_ps and not self.bn
+                and self.features <= max_f)
         o = UpsampleConv(self.features, self.kernel_size, use_bias=False,
                          dtype=self.dtype, defer_d2s=not self.ref_ps,
                          raw4=use4, ref_ps=self.ref_ps)(o)
