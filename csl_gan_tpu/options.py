@@ -390,6 +390,19 @@ def build_parser() -> argparse.ArgumentParser:
                              "Counts G updates per logging interval, so "
                              "set N with the log cadence in mind (and "
                              ">= 1 G cadence point per interval).")
+    parser.add_argument("--bf16_table", type=str2bool, default=True,
+                        help="Store flat float device image tables "
+                             "(MNIST-type datasets) in bfloat16: halves "
+                             "the per-step batch-gather HBM traffic (the "
+                             "largest single op of the launch-bound MNIST "
+                             "epoch). Rows convert to fp32 right after "
+                             "the gather, so all training/DP arithmetic "
+                             "is exact on the stored values; the storage "
+                             "rounding (<= 2^-8 relative) is of the same "
+                             "order as the source u8 pixel quantization. "
+                             "One-hot and label columns are exact. "
+                             "`--bf16_table false` restores exact fp32 "
+                             "storage (bit-parity with earlier rounds).")
     parser.add_argument("--phase_gn4", type=str2bool, default=True,
                         help="DCResNet G: the second GroupNorm of each "
                              "upsample block consumes the fused "

@@ -324,6 +324,14 @@ class Trainer:
                                        np.float32).reshape(-1, 1))
                 imgs = np.concatenate(cols, axis=1)
                 self.builder.labels_in_table = True
+                # --bf16_table: bf16 storage halves the gather bytes (the
+                # biggest single op of the launch-bound MNIST epoch);
+                # rows convert to f32 right after the gather
+                # (steps.gather_batch / the megakernel's block load), so
+                # training arithmetic is exact on the stored values.
+                # One-hot and small-int label columns are bf16-exact.
+                if opt_get(self.opt, "bf16_table", True):
+                    dtype = jnp.bfloat16
             self._dev_data = (
                 self.mesh.put_replicated(jnp.asarray(imgs, dtype)),
                 self.mesh.put_replicated(jnp.asarray(self.dataset.labels, jnp.int32)))

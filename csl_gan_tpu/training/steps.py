@@ -583,6 +583,12 @@ class TrainStepBuilder:
         tiny strided fusion."""
         if self.labels_in_table:
             rows = images[idx]
+            if rows.dtype != jnp.float32:
+                # --bf16_table storage: the gather moves half the bytes;
+                # converting right here keeps every downstream consumer
+                # (models, ghost norms, DP clipping) in exact fp32
+                # arithmetic on the stored values.
+                rows = rows.astype(jnp.float32)
             f = 1
             for d in self.img_shape:
                 f *= d
@@ -591,7 +597,10 @@ class TrainStepBuilder:
             # epoch runner) — slice by image width, not by :-1.
             x = rows[:, :f].reshape((rows.shape[0],) + tuple(self.img_shape))
             return x, rows[:, -1].astype(jnp.int32)
-        return self.unflatten_rows(images[idx]), labels[idx]
+        x = self.unflatten_rows(images[idx])
+        if x.dtype == jnp.bfloat16:
+            x = x.astype(jnp.float32)
+        return x, labels[idx]
 
     def unflatten_rows(self, x):
         """Restore [B, *img_shape] after a row gather from a flat-stored

@@ -493,3 +493,40 @@ def test_phase_carry_bit_identical(tmp_path):
     for k in d1:
         np.testing.assert_array_equal(np.asarray(d1[k]), np.asarray(d2[k]),
                                       err_msg=k)
+
+
+def test_bf16_table_exact_on_representable_pixels(tmp_path):
+    """--bf16_table storage must be LOSSLESS for pixel values exactly
+    representable in bfloat16 (multiples of 1/128 in [0,1) — coarser than
+    u8 quantization): the segment runner on a bf16-stored packed table
+    must train BIT-IDENTICALLY to the f32-stored one, and labels/one-hot
+    columns must round-trip exactly."""
+    opt, builder, state = setup(tmp_path, "--conditional", "-dpm", "gc",
+                                "--sigma", "0")
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    images = jax.random.randint(kx, (100, 28, 28, 1), 0, 128) / 128.0
+    labels = jax.random.randint(ky, (100,), 0, 10)
+    perm = jnp.arange(100)
+    g_mask = jnp.asarray([True, False, True])
+    rng = jax.random.PRNGKey(7)
+
+    def packed(dtype):
+        flat = images.reshape(100, -1)
+        eye = jnp.eye(10)[labels]
+        return jnp.concatenate(
+            [flat, eye, labels.astype(jnp.float32)[:, None]],
+            axis=1).astype(dtype)
+
+    outs = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        _, b, s = setup(tmp_path, "--conditional", "-dpm", "gc",
+                        "--sigma", "0")
+        b.img_shape = images.shape[1:]
+        b.labels_in_table = True
+        b.onehot_in_table = True
+        r = b.build_segment_runner(use_dp=True)
+        outs[dtype], *_ = r(s, rng, packed(dtype), labels, perm, 0, g_mask,
+                            jnp.zeros(()), jnp.zeros(()))
+    for a, b2 in zip(jax.tree_util.tree_leaves(outs[jnp.float32].d_params),
+                     jax.tree_util.tree_leaves(outs[jnp.bfloat16].d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
