@@ -89,6 +89,61 @@ def bench_jax() -> float:
     return sps
 
 
+def _celeba_d_loop(builder, x, y, n_iters):
+    """The CelebA D-step scan, production-shaped: with --group_fakes (the
+    default, builder.grouped_runner_ok), the fresh fakes of each
+    n_d_steps cadence group are generated in ONE batched G forward and the
+    group's D steps consume slices — exactly what the grouped segment
+    runner does between G updates (segment_runner._build_grouped_run); the
+    per-step z keys are unchanged, so values match the per-step path.
+    Every step also consumes the carried phase-kernel cache
+    (--phase_carry). Returns a jitted (state, key) -> (state, last_loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csl_gan_tpu.training.segment_runner import _reshape_keys
+    from csl_gan_tpu.training.steps import key_rows
+
+    n_d = max(1, int(builder.opt.n_d_steps))
+    grouped = builder.grouped_runner_ok(True) and n_iters % n_d == 0
+
+    def loop(st, key):
+        pcache = builder.phase_collapse(st.g_params)
+        # Per-step key rows, derived exactly as the per-step path does
+        # (key_rows(fold_in(key, i), k)[j] == fold_in(fold_in(key, i), j)).
+        rows = jax.vmap(
+            lambda i: key_rows(jax.random.fold_in(key, i), 8))(
+            jnp.arange(n_iters))
+
+        if not grouped:
+            def body(carry, kk):
+                st, m = builder._d_core(carry, x, y, x, y, x, y, kk, True,
+                                        None, pcache)
+                return st, m["d_adv_loss"]
+            st, losses = jax.lax.scan(body, st, rows)
+            return builder._constrain_state(st), losses[-1]
+
+        rows_g = _reshape_keys(rows, (n_iters // n_d, n_d, 8))
+        y_block = None if y is None else jnp.broadcast_to(
+            y, (n_d,) + y.shape)
+
+        def gbody(st, keys_g):
+            fakes = builder.batch_fakes(st, keys_g, y_block, pcache)
+
+            def body(carry, inp):
+                kk, fake = inp
+                st, m = builder._d_core(carry, x, y, x, y, x, y, kk, True,
+                                        None, pcache, fake)
+                return st, m["d_adv_loss"]
+            st, losses = jax.lax.scan(body, st, (keys_g, fakes))
+            return st, losses[-1]
+
+        st, losses = jax.lax.scan(gbody, st, rows_g)
+        return builder._constrain_state(st), losses[-1]
+
+    return jax.jit(loop, donate_argnums=(0,))
+
+
 def bench_celeba_jax(bf16: bool = False) -> float:
     """CelebA flagship D step (DCResNet WGAN-GP + ACGAN aux, bs=128, gc DP,
     conv ghost clipping — BASELINE.md config #5's conv workload).
@@ -127,23 +182,7 @@ def bench_celeba_jax(bf16: bool = False) -> float:
     # production epoch is 1583 steps in one dispatch, so 200 still
     # UNDERSTATES the amortization real training gets.
     n_iters, n_trials = 200, 3
-
-    def loop(st, key):
-        # Production parity: between G updates the segment scan feeds the
-        # D steps a carried pre-collapsed phase-kernel cache (--phase_carry,
-        # segment_runner.py); this D-only scan computes it once per
-        # dispatch the same way.
-        pcache = builder.phase_collapse(st.g_params)
-
-        def body(carry, i):
-            st, m = builder._d_core(carry, x, y, x, y, x, y,
-                                    jax.random.fold_in(key, i), True, None,
-                                    pcache)
-            return st, m["d_adv_loss"]
-        st, losses = jax.lax.scan(body, st, jnp.arange(n_iters))
-        return builder._constrain_state(st), losses[-1]
-
-    loop = jax.jit(loop, donate_argnums=(0,))
+    loop = _celeba_d_loop(builder, x, y, n_iters)
 
     t0 = time.perf_counter()
     state, last = loop(state, k)
@@ -485,16 +524,7 @@ def _ab_variant(workload: str, extra_flags: str, tag: str):
         n_iters = 200
 
         if workload == "celeba":
-            def loop(st, key):
-                pcache = builder.phase_collapse(st.g_params)
-
-                def body(carry, i):
-                    st, m = builder._d_core(
-                        carry, x, y, x, y, x, y,
-                        jax.random.fold_in(key, i), True, None, pcache)
-                    return st, m["d_adv_loss"]
-                st, losses = jax.lax.scan(body, st, jnp.arange(n_iters))
-                return builder._constrain_state(st), losses[-1]
+            jloop = _celeba_d_loop(builder, x, y, n_iters)  # already jitted
         else:
             def loop(st, key):
                 def body(carry, i):
@@ -504,7 +534,7 @@ def _ab_variant(workload: str, extra_flags: str, tag: str):
                 st, losses = jax.lax.scan(body, st, jnp.arange(n_iters))
                 return builder._constrain_state(st), losses[-1]
 
-        jloop = jax.jit(loop, donate_argnums=(0,))
+            jloop = jax.jit(loop, donate_argnums=(0,))
         holder = {"state": state, "t": 0}
 
         def trial():

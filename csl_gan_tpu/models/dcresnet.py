@@ -119,10 +119,14 @@ def collapse_phase_kernels(g_params):
     under TorchConv_0 with no UpsampleConv parent). Returns {} when the
     tree has no phase convs (ref_pixel_shuffle mode, non-DCResNet G);
     tests/test_models.py pins cache-fed == inline outputs exactly.
+    Accepts any Mapping tree (plain dicts or flax FrozenDicts — a frozen
+    checkpoint restore must not silently disable the phase carry).
     """
+    from collections.abc import Mapping
+
     def walk(node, path):
-        if not isinstance(node, dict) or "kernel" in node:
-            if (isinstance(node, dict) and "kernel" in node
+        if not isinstance(node, Mapping) or "kernel" in node:
+            if (isinstance(node, Mapping) and "kernel" in node
                     and len(path) >= 3
                     and path[-1] == "Conv_0"
                     and path[-2] == "TorchConv_0"
@@ -322,6 +326,14 @@ class ResBlockUp(nn.Module):
     #                          conv's raw [N,H,W,4F] output (phase_tiles=4)
     #                          instead of the 6-D phase view — same math,
     #                          full-lane layout (--phase_gn4)
+    phase_gn4_max_f: int = -1  # apply the raw-4F form only to blocks with
+    #                            features <= this (-1 = all): the 6-D view
+    #                            only wastes lanes for F < 128, and wide
+    #                            blocks' raw-4F GN BACKWARD is a measured
+    #                            cost — so the G-update call site may cap
+    #                            it while forward-only sites (D-step fakes,
+    #                            sampling) use all blocks
+    #                            (--phase_gn4_max_f).
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -344,10 +356,8 @@ class ResBlockUp(nn.Module):
         # instead of being materialized fp32 for the norm's reads.
         # BatchNorm is per-channel over ALL other axes, which is only
         # phase-correct in the 6-D view; the raw-4F form is GN-only.
-        # CSL_GN4_MAX_F (A/B knob): apply the raw-4F form only to blocks
-        # with features <= the given value — the 6-D view only wastes
-        # lanes when F < 128, so wide blocks may not benefit.
-        max_f = int(os.environ.get("CSL_GN4_MAX_F") or (1 << 30))
+        max_f = self.phase_gn4_max_f if self.phase_gn4_max_f >= 0 \
+            else (1 << 30)
         use4 = (self.phase_gn4 and not self.ref_ps and not self.bn
                 and self.features <= max_f)
         o = UpsampleConv(self.features, self.kernel_size, use_bias=False,
@@ -380,6 +390,8 @@ class DCResNetGenerator(nn.Module):
     dtype: object = None   # compute dtype (--bf16); params stay fp32
     ref_ps: bool = False   # reference-interop upsampling (see UpsampleConv)
     phase_gn4: bool = True  # raw-4F GroupNorm in the upsample blocks
+    phase_gn4_max_f: int = -1  # per-block feature cutoff for phase_gn4
+    #                            (-1 = all blocks; see ResBlockUp)
 
     family = "wgan"
 
@@ -402,7 +414,9 @@ class DCResNetGenerator(nn.Module):
         for ch in self.channels[1:]:
             x = ResBlockUp(ch, 5, bn=self.bn, dtype=self.dtype,
                            ref_ps=self.ref_ps,
-                           phase_gn4=self.phase_gn4)(x, train=train)
+                           phase_gn4=self.phase_gn4,
+                           phase_gn4_max_f=self.phase_gn4_max_f)(
+                x, train=train)
 
         if self.bn:
             x = nn.BatchNorm(momentum=0.9, epsilon=1e-5,

@@ -77,8 +77,13 @@ def init_models(opt, init_G: bool = True, init_D: bool = True,
         g_kwargs = {}
         if opt.model == "DeepConvResNet":
             # Raw-4F GroupNorm in the upsample blocks (--phase_gn4; see
-            # models/dcresnet.py ResBlockUp.phase_gn4).
+            # models/dcresnet.py ResBlockUp.phase_gn4). The per-block
+            # cutoff applies at the G-UPDATE call site only; the builder
+            # clones a forward-only all-blocks variant for the D-step
+            # fake path and sampling (steps.py G_fwd).
             g_kwargs["phase_gn4"] = bool(opt_get(opt, "phase_gn4", True))
+            mf = opt_get(opt, "phase_gn4_max_f", None)
+            g_kwargs["phase_gn4_max_f"] = -1 if mf is None else int(mf)
         if opt_get(opt, "ref_pixel_shuffle", False) and \
                 opt.model == "DeepConvResNet":
             # Reference-checkpoint interop (convert_reference_checkpoint.py):

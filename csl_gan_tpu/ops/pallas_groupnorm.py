@@ -315,6 +315,10 @@ def group_norm_relu(x, scale, bias, groups: int = 32, eps: float = 1e-5,
     input; stats in fp32, output in x.dtype. ``tiles``: phase-stacked
     channel axis (see _gn_relu_xla). Pallas-fused on single-device
     TPU (opt-in), identical-math XLA elsewhere."""
+    if x.shape[-1] % tiles != 0:
+        raise ValueError(
+            f"channel axis {x.shape[-1]} not divisible by tiles={tiles} "
+            "(phase-stacked input must hold `tiles` whole copies of C)")
     if (x.shape[-1] // tiles) % groups != 0:
         raise ValueError(
             f"channels {x.shape[-1] // tiles} not divisible by "

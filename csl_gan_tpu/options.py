@@ -35,6 +35,7 @@ MNIST_DEFAULTS = {
     "train_set_size": 60000,
     "g_latent_dim": 100,
     "n_d_steps": 1,
+    "phase_gn4_max_f": -1,
     "g_label_emb_mode": "concat",
     "d_label_emb_mode": "concat",
     "aux_loss_type": "cross_entropy",
@@ -75,6 +76,7 @@ CELEBA_DEFAULTS = {
     "public_set_size": 0,
     "g_latent_dim": 128,
     "n_d_steps": 5,
+    "phase_gn4_max_f": 64,
     "g_label_emb_mode": "concat",
     "d_label_emb_mode": "concat",
     "aux_loss_type": "wasserstein",
@@ -403,6 +405,20 @@ def build_parser() -> argparse.ArgumentParser:
                              "One-hot and label columns are exact. "
                              "`--bf16_table false` restores exact fp32 "
                              "storage (bit-parity with earlier rounds).")
+    parser.add_argument("--u8_table", type=str2bool, default=False,
+                        help="Store flat float device image tables as "
+                             "uint8 (pixels x255): halves the per-step "
+                             "batch-gather bytes AGAIN vs --bf16_table. "
+                             "Pixels are dequantized u8/255 in fp32 right "
+                             "after the gather — BIT-identical to fp32 "
+                             "storage when the source pixels are "
+                             "u8-derived (real MNIST is u8/255); "
+                             "non-u8-exact pixels (e.g. the synthetic "
+                             "fallback) quantize to the nearest 1/255 "
+                             "with a printed notice. Disables the "
+                             "whole-epoch Pallas megakernel for the "
+                             "config (it consumes float rows); mainly a "
+                             "win for the XLA-scan paths (is mode).")
     parser.add_argument("--phase_gn4", type=str2bool, default=True,
                         help="DCResNet G: the second GroupNorm of each "
                              "upsample block consumes the fused "
@@ -422,6 +438,40 @@ def build_parser() -> argparse.ArgumentParser:
                              "forward (~0.3-0.4 ms/step on the CelebA bf16 "
                              "flagship). Bit-identical training either way "
                              "(tests/test_segment_runner.py).")
+    parser.add_argument("--phase_gn4_max_f", type=int, default=None,
+                        help="Per-block cutoff for --phase_gn4 at the G "
+                             "UPDATE call site: apply the raw-4F GroupNorm "
+                             "only to upsample blocks with <= N features "
+                             "there (-1 = all blocks). The 6-D phase view "
+                             "only wastes lanes for F<128, and the wide "
+                             "blocks' raw-4F GN backward is a measured G "
+                             "step cost while their forward is a D-step "
+                             "win — so the D steps' forward-only fake path "
+                             "(and sampling/serving) always use all blocks "
+                             "when --phase_gn4 is on, and this cutoff "
+                             "shapes only the G update (RESULTS.md round-4 "
+                             "gn4 policy data). Recorded in opt.txt "
+                             "(supersedes the round-4 CSL_GN4_MAX_F env "
+                             "A/B knob). Default: 64 for CelebA (captures "
+                             "both measured wins, RESULTS.md round 5), "
+                             "-1 (all blocks) for MNIST.")
+    parser.add_argument("--group_fakes", type=str2bool, default=False,
+                        help="Generate the fresh fake batches of a whole "
+                             "n_d_steps cadence group in ONE G forward "
+                             "(G params can only change at cadence "
+                             "points, so the per-step z draws — unchanged "
+                             "— run through an identical G). Value-"
+                             "identical per step; applies to the interval "
+                             "scan when n_d_steps > 1 (not Poisson, not "
+                             "BatchNorm-G). DEFAULT OFF — a measured "
+                             "NEGATIVE on v5e (RESULTS.md round 5): the "
+                             "CelebA G forward is bandwidth-bound with "
+                             "no launch overhead to amortize, and at 5x "
+                             "batch XLA assigns batch-minor layouts to "
+                             "several stage intermediates (~0.3 ms/step "
+                             "of extra relayout copies; D step 11.82 -> "
+                             "12.14 ms interleaved A/B). Kept as an "
+                             "opt-in lever for other shapes/hardware.")
     parser.add_argument("--pallas_epoch", type=str2bool, default=True,
                         help="Run whole epochs of the MNIST vanilla DP "
                              "flagship as ONE Pallas megakernel (params and "

@@ -299,6 +299,51 @@ class Trainer:
             # cache) measured slightly FASTER in natural layout; kept as-is.
             img_shape = imgs.shape[1:]
             flatten = imgs.ndim > 2 and dtype == jnp.float32
+            if flatten and opt_get(self.opt, "u8_table", False) \
+                    and self.opt.n_classes <= 255:
+                # --u8_table: pixels stored x255 as uint8 with the label in
+                # a trailing u8 column — half the gather bytes of
+                # --bf16_table. gather_batch dequantizes u8/255 in fp32
+                # (the loader's own math, data/mnist.py:128), so u8-derived
+                # pixels round-trip BIT-exactly; anything else quantizes to
+                # 1/255 steps (announced below). No one-hot columns: the
+                # Pallas megakernel consumes float rows and is auto-gated
+                # off via onehot_in_table.
+                flat = imgs.reshape(len(imgs), -1)
+                p255 = flat * 255.0
+                if not (np.all(p255 == np.rint(p255)) and p255.min() >= 0
+                        and p255.max() <= 255):
+                    print("Device image table stored uint8 (--u8_table): "
+                          "pixels are NOT u8-exact; quantizing to 1/255 "
+                          "steps (same order as source u8 quantization).")
+                else:
+                    print("Device image table stored uint8 (--u8_table), "
+                          "bit-exact dequant u8/255 after the gather.")
+                rows = np.concatenate(
+                    [np.rint(np.clip(p255, 0, 255)).astype(np.uint8),
+                     np.asarray(self.dataset.labels,
+                                np.uint8).reshape(-1, 1)], axis=1)
+                self.builder.img_shape = img_shape
+                self.builder.labels_in_table = True
+                self._dev_data = (
+                    self.mesh.put_replicated(jnp.asarray(rows, jnp.uint8)),
+                    self.mesh.put_replicated(
+                        jnp.asarray(self.dataset.labels, jnp.int32)))
+                self._gather = jax.jit(lambda im, lb, idx: (im[idx],
+                                                            lb[idx]))
+                bs = self.opt.batch_size
+
+                def gather_next_u8(im, lb, perm, counter):
+                    idx = jax.lax.dynamic_slice(perm, (counter * bs,),
+                                                (bs,))
+                    x, yy = self.builder.gather_batch(im, lb, idx)
+                    return x, yy, counter + 1
+
+                self._gather_next = jax.jit(gather_next_u8)
+                self._perm = jax.jit(
+                    lambda key: jax.random.permutation(key,
+                                                       len(self.dataset)))
+                return self._setup_aux_device_data()
             if flatten:
                 imgs = imgs.reshape(len(imgs), -1)
                 self.builder.img_shape = img_shape
@@ -332,6 +377,12 @@ class Trainer:
                 # One-hot and small-int label columns are bf16-exact.
                 if opt_get(self.opt, "bf16_table", True):
                     dtype = jnp.bfloat16
+                    # Announce the storage-dtype decision (ADVICE r4): runs
+                    # compared against fp32-table logs can tell which mode
+                    # produced them without reading opt.txt.
+                    print("Device image table stored bfloat16 "
+                          "(--bf16_table; rows convert to fp32 after the "
+                          "gather, DP arithmetic exact on stored values).")
             self._dev_data = (
                 self.mesh.put_replicated(jnp.asarray(imgs, dtype)),
                 self.mesh.put_replicated(jnp.asarray(self.dataset.labels, jnp.int32)))
@@ -355,6 +406,13 @@ class Trainer:
             self._gather_next = jax.jit(gather_next)
             self._perm = jax.jit(
                 lambda key: jax.random.permutation(key, len(self.dataset)))
+        self._setup_aux_device_data()
+
+    def _setup_aux_device_data(self):
+        """Device-resident public split and mean samples (shared tail of
+        _setup_device_data; also the u8-table early path's exit)."""
+        import jax.numpy as jnp
+
         if isinstance(self.public_dataset, ArrayDataset) and \
                 self.public_dataset.images.nbytes <= (1 << 30):
             self._dev_public = (
@@ -452,11 +510,12 @@ class Trainer:
                      or opt.n_epochs * len(self.dataloader) >= 1000)
                 and not opt_get(opt, "host_loop", False))
 
-    def _get_runner(self, use_dp: bool):
-        if use_dp not in self._seg_runners:
+    def _get_runner(self, use_dp: bool, grouped: bool = False):
+        key = (use_dp, grouped)
+        if key not in self._seg_runners:
             mean_fn = (self.mean_sampler.device_sample_fn()
                        if self._dev_mean is not None else None)
-            self._seg_runners[use_dp] = self.builder.build_segment_runner(
+            self._seg_runners[key] = self.builder.build_segment_runner(
                 use_dp, mean_fn, preprocess=self._dev_preprocess,
                 batch_sharding=(self.mesh.batch if self.mesh.n_devices > 1
                                 else None),
@@ -465,8 +524,14 @@ class Trainer:
                 # drop the per-step G lax.cond (TPU pipeline flush).
                 assume_full_cadence=(
                     self.opt.n_d_steps <= 1
-                    and float(self.opt.train_d_until_threshold) >= 1e10))
-        return self._seg_runners[use_dp]
+                    and float(self.opt.train_d_until_threshold) >= 1e10),
+                # Cadence-grouped fresh-fake batching (--group_fakes):
+                # every g_mask this Trainer builds IS the standard cadence
+                # pattern (arange(start, cut) % n_d_steps == 0 below), so
+                # the grouped runner's mask contract holds whenever the
+                # segment start is itself a Python int (it is).
+                grouped=grouped)
+        return self._seg_runners[key]
 
     def _get_zero_acc(self, use_dp: bool, runner, args):
         if use_dp not in self._zero_accs:
@@ -546,11 +611,16 @@ class Trainer:
                        if k == n
                        or (log_in_scan and (k * bs) % opt.log_every == 0)
                        or (sample_in_scan and (k * bs) % opt.sample_every == 0)})
-        runner = self._get_runner(opt.use_dp)
+        grouped_ok = self.builder.grouped_runner_ok(opt.use_dp)
         ms = self._dev_mean if self._dev_mean is not None else self._ms_dummy
         start = 0
         for cut in cuts:
             seg = cut - start
+            # Grouped (--group_fakes) when the segment starts on a cadence
+            # boundary (its head/group decomposition is start-static);
+            # other cuts fall back to the per-batch runner.
+            runner = self._get_runner(
+                opt.use_dp, grouped_ok and start % opt.n_d_steps == 0)
             if (start, cut) not in self._g_masks:
                 self._g_masks[(start, cut)] = self.mesh.put_replicated(
                     jnp.asarray(np.arange(start, cut) % opt.n_d_steps == 0))
@@ -561,8 +631,12 @@ class Trainer:
                 # previous segments' metric sums in via acc_in.
                 args = (self.state, self._seg_rng, *self._dev_data,
                         self._perm_key, start, g_mask, ms, self._thresh_acc)
-                zero_acc = self._get_zero_acc(opt.use_dp, runner,
-                                              args + (None, epoch))
+                # Zero template from the UNGROUPED runner (same metric
+                # structure; the grouped jit treats `start` statically,
+                # which eval_shape cannot).
+                zero_acc = self._get_zero_acc(
+                    opt.use_dp, self._get_runner(opt.use_dp),
+                    args + (None, epoch))
                 acc_in = self._scan_acc if self._scan_acc is not None \
                     else zero_acc
                 (self.state, self._seg_rng, d_sums, g_sums, g_count,
@@ -613,7 +687,11 @@ class Trainer:
                                 else None),
                 assume_full_cadence=(
                     self.opt.n_d_steps <= 1
-                    and float(self.opt.train_d_until_threshold) >= 1e10))
+                    and float(self.opt.train_d_until_threshold) >= 1e10),
+                # Epoch dispatches always start at batch 0 and use the
+                # standard per-epoch cadence mask, so the grouped runner's
+                # contract holds whenever the config is eligible.
+                grouped=self.builder.grouped_runner_ok(use_dp))
         return self._epoch_runners[key]
 
     def _multi_epoch_scan(self, epoch0: int, k: int) -> int:

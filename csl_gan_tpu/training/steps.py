@@ -199,6 +199,18 @@ class TrainStepBuilder:
         self.use_phase_carry = (isinstance(G, DCResNetGenerator)
                                 and not getattr(G, "ref_ps", False)
                                 and bool(opt_get(opt, "phase_carry", True)))
+        # Per-call-site gn4 policy (--phase_gn4_max_f): the raw-4F
+        # GroupNorm's BACKWARD is a measured cost on wide blocks while its
+        # forward is a win, and the D-step fake path / sampling never run
+        # the G backward — so forward-only call sites always use the
+        # all-blocks layout and the cutoff shapes only the G update
+        # (RESULTS.md round-4 gn4 policy data). Same params either way
+        # (the layout choice is compute-only), so the two module variants
+        # share one param tree.
+        self.G_fwd = G
+        if (isinstance(G, DCResNetGenerator)
+                and getattr(G, "phase_gn4_max_f", -1) >= 0):
+            self.G_fwd = G.clone(phase_gn4_max_f=-1)
 
         # Installed by the Trainer under --fsdp (parallel/mesh.py
         # MeshContext.constrain_state): pins each jitted step's output
@@ -228,6 +240,18 @@ class TrainStepBuilder:
 
     def init_state(self, G_vars, D_vars) -> TrainState:
         self.g_has_bn = "batch_stats" in G_vars
+        if self.use_phase_carry:
+            # Guard against the carry silently disabling (ADVICE r4): a
+            # DCResNet G in phase mode must yield phase convs from the
+            # walker; an empty cache here means a param-tree shape the
+            # walker does not recognize — fail loudly, not slowly.
+            from csl_gan_tpu.models.dcresnet import collapse_phase_kernels
+            if not collapse_phase_kernels(G_vars["params"]):
+                raise ValueError(
+                    "--phase_carry is enabled but no fused upsample-conv "
+                    "kernels were found in the generator param tree; the "
+                    "phase-collapse cache would silently disable. Pass "
+                    "--phase_carry false or report the tree layout.")
         d_params = D_vars["params"]
         n_leaves = len(jax.tree_util.tree_leaves(d_params))
 
@@ -319,10 +343,10 @@ class TrainStepBuilder:
             variables["phase_cache"] = phase_cache
         if self.g_has_bn:
             variables["batch_stats"] = state.g_batch_stats
-            img, upd = self.G.apply(variables, z, y, train=True,
-                                    mutable=["batch_stats"])
+            img, upd = self.G_fwd.apply(variables, z, y, train=True,
+                                        mutable=["batch_stats"])
             return jax.lax.stop_gradient(img), upd["batch_stats"]
-        img = self.G.apply(variables, z, y, train=True)
+        img = self.G_fwd.apply(variables, z, y, train=True)
         return jax.lax.stop_gradient(img), state.g_batch_stats
 
     def phase_collapse(self, g_params):
@@ -332,6 +356,34 @@ class TrainStepBuilder:
             return None
         from csl_gan_tpu.models.dcresnet import collapse_phase_kernels
         return collapse_phase_kernels(g_params) or None
+
+    def batch_fakes(self, state: TrainState, step_key_rows, y_steps,
+                    phase_cache=None):
+        """Fresh fakes for m consecutive D steps in ONE G forward
+        (--group_fakes): G params can only change at n_d_steps cadence
+        points (reference train.py:530), so the m steps of a cadence group
+        all see an identical frozen G — their m bs-sized fake batches run
+        as one m*bs forward, amortizing the small-spatial-stage launch and
+        fusion overheads the per-step bs=128 forward pays every D step.
+
+        `step_key_rows`: [m, >=1] per-step key rows (column 0 is each
+        step's z key, exactly as key_rows hands it to the D step, so the z
+        VALUES are unchanged). `y_steps`: [m, bs] labels or None. Returns
+        fakes [m, bs, ...]: slice j equals the per-step
+        _fake_images(state, gen_z(row_j[0], bs), y_steps[j]) — per-sample
+        math (convs, per-sample GroupNorm) is batch-size-invariant, so
+        the values match to reduce-order tolerance (pinned by
+        tests/test_segment_runner.py). Requires a BatchNorm-free G (BN
+        batch stats are not batch-size-invariant; callers gate on
+        g_has_bn)."""
+        assert not self.g_has_bn, "batch_fakes requires a BatchNorm-free G"
+        bs = self.opt.batch_size if y_steps is None else y_steps.shape[1]
+        m = step_key_rows.shape[0]
+        z = jax.vmap(lambda kk: self.gen_z(kk[0], bs))(step_key_rows)
+        zf = z.reshape(m * bs, z.shape[-1])
+        yf = None if y_steps is None else y_steps.reshape(m * bs)
+        fakes, _ = self._fake_images(state, zf, yf, phase_cache)
+        return fakes.reshape((m, bs) + fakes.shape[1:])
 
     def gen_z(self, key, size):
         return jax.random.normal(key, (size, self.latent))
@@ -428,12 +480,17 @@ class TrainStepBuilder:
     # ---------------- D step: non-private ----------------
 
     def _d_step_plain(self, state: TrainState, x, y, pen_x, pen_y, rng,
-                      phase_cache=None):
+                      phase_cache=None, fake_img=None):
         b = x.shape[0]
         ks = key_rows(rng, 2)
         k_z, k_pen = ks[0], ks[1]
-        z = self.gen_z(k_z, b)
-        fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
+        if fake_img is None:
+            z = self.gen_z(k_z, b)
+            fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
+        else:
+            # Supplied by the grouped runner (batch_fakes) — same values,
+            # generated in one whole-cadence-group G forward.
+            g_stats = state.g_batch_stats
         row_w = self._row_weights(y) if self.conditional else None
 
         def loss_fn(d_params):
@@ -583,11 +640,12 @@ class TrainStepBuilder:
         tiny strided fusion."""
         if self.labels_in_table:
             rows = images[idx]
+            u8 = rows.dtype == jnp.uint8
             if rows.dtype != jnp.float32:
-                # --bf16_table storage: the gather moves half the bytes;
-                # converting right here keeps every downstream consumer
-                # (models, ghost norms, DP clipping) in exact fp32
-                # arithmetic on the stored values.
+                # --bf16_table / --u8_table storage: the gather moves
+                # half / a quarter of the f32 bytes; converting right here
+                # keeps every downstream consumer (models, ghost norms, DP
+                # clipping) in exact fp32 arithmetic on the stored values.
                 rows = rows.astype(jnp.float32)
             f = 1
             for d in self.img_shape:
@@ -595,7 +653,13 @@ class TrainStepBuilder:
             # Rows may carry extra one-hot columns between the pixels and
             # the trailing label (onehot_in_table; consumed by the Pallas
             # epoch runner) — slice by image width, not by :-1.
-            x = rows[:, :f].reshape((rows.shape[0],) + tuple(self.img_shape))
+            x = rows[:, :f]
+            if u8:
+                # Dequantize with the loader's own math (u8 -> f32, /255;
+                # data/mnist.py:128) so u8-derived pixels round-trip
+                # bit-exactly (tests/test_segment_runner.py).
+                x = x / 255.0
+            x = x.reshape((rows.shape[0],) + tuple(self.img_shape))
             return x, rows[:, -1].astype(jnp.int32)
         x = self.unflatten_rows(images[idx])
         if x.dtype == jnp.bfloat16:
@@ -652,15 +716,18 @@ class TrainStepBuilder:
         return jnp.sqrt(jnp.sum(stat ** 2)) * self.adaptive_scalar
 
     def _d_step_gc(self, state: TrainState, x, y, pen_x, pen_y, ax, ay, rng,
-                   valid=None, phase_cache=None):
+                   valid=None, phase_cache=None, fake_img=None):
         b = x.shape[0]
         # Under Poisson subsampling (valid mask set), division and penalty
         # scaling use the EXPECTED batch size (standard Poisson DP-SGD).
         b_eff = self.opt.batch_size if valid is not None else b
         ks = key_rows(rng, 3)
         k_z, k_noise, k_pen = ks[0], ks[1], ks[2]
-        z = self.gen_z(k_z, b)
-        fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
+        if fake_img is None:
+            z = self.gen_z(k_z, b)
+            fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
+        else:
+            g_stats = state.g_batch_stats
         row_w = self._row_weights(y, valid) if self.conditional else None
 
         clipping = state.clipping
@@ -812,12 +879,15 @@ class TrainStepBuilder:
     # ---------------- D step: immediate sensitivity DP ----------------
 
     def _d_step_is(self, state: TrainState, x, y, pen_x, pen_y, rng,
-                   phase_cache=None):
+                   phase_cache=None, fake_img=None):
         b = x.shape[0]
         ks = key_rows(rng, 3)
         k_z, k_noise, k_pen = ks[0], ks[1], ks[2]
-        z = self.gen_z(k_z, b)
-        fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
+        if fake_img is None:
+            z = self.gen_z(k_z, b)
+            fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
+        else:
+            g_stats = state.g_batch_stats
 
         def total_loss(d_params, x_in):
             f_out, f_aux = self._d_apply(d_params, fake_img, y,
@@ -900,12 +970,15 @@ class TrainStepBuilder:
     # ---------------- D step: trimmed-mean / sign-vote (experimental) -----
 
     def _d_step_tmsv(self, state: TrainState, x, y, pen_x, pen_y, rng,
-                      phase_cache=None):
+                      phase_cache=None, fake_img=None):
         b = x.shape[0]
         ks = key_rows(rng, 3)
         k_z, k_noise, k_pen = ks[0], ks[1], ks[2]
-        z = self.gen_z(k_z, b)
-        fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
+        if fake_img is None:
+            z = self.gen_z(k_z, b)
+            fake_img, g_stats = self._fake_images(state, z, y, phase_cache)
+        else:
+            g_stats = state.g_batch_stats
         row_w = self._row_weights(y) if self.conditional else None
 
         f, args = self._combined_ps_args(x, y, fake_img, row_w)
@@ -987,46 +1060,69 @@ class TrainStepBuilder:
     # ---------------- segment runner (device-side interval scan) ---------
 
     def _d_core(self, state, x, y, pen_x, pen_y, ax, ay, rng, use_dp: bool,
-                valid=None, phase_cache=None):
-        """Static dispatch over the per-batch D update variants."""
+                valid=None, phase_cache=None, fake_img=None):
+        """Static dispatch over the per-batch D update variants.
+
+        `fake_img`, when supplied (grouped runner / grouped bench), replaces
+        the in-step fresh-fake G forward with a slice of the cadence
+        group's one batched forward (batch_fakes)."""
         if use_dp and self.dp_mode == "gc":
             return self._d_step_gc(state, x, y, pen_x, pen_y, ax, ay, rng,
-                                   valid, phase_cache)
+                                   valid, phase_cache, fake_img)
         if use_dp and self.dp_mode == "is":
             return self._d_step_is(state, x, y, pen_x, pen_y, rng,
-                                   phase_cache)
+                                   phase_cache, fake_img)
         if use_dp and self.dp_mode in ("tm", "sv"):
             return self._d_step_tmsv(state, x, y, pen_x, pen_y, rng,
-                                     phase_cache)
+                                     phase_cache, fake_img)
         return self._d_step_plain(state, x, y, pen_x, pen_y, rng,
-                                  phase_cache)
+                                  phase_cache, fake_img)
 
     def build_segment_runner(self, use_dp: bool, mean_sample_fn=None,
                              preprocess=None, batch_sharding=None,
-                             assume_full_cadence=False):
+                             assume_full_cadence=False, grouped=False):
         """One jitted lax.scan over a whole logging interval of batches
         (moved to training/segment_runner.py; kept here as the public
         entry point)."""
         from csl_gan_tpu.training import segment_runner
         return segment_runner.build_segment_runner(
             self, use_dp, mean_sample_fn, preprocess, batch_sharding,
-            assume_full_cadence)
+            assume_full_cadence, grouped)
 
     def build_epochs_runner(self, use_dp: bool, n_epochs: int,
                             n_batches: int, mean_sample_fn=None,
                             preprocess=None, batch_sharding=None,
-                            assume_full_cadence=False):
+                            assume_full_cadence=False, grouped=False):
         """n_epochs whole epochs in one dispatch (segment_runner.py)."""
         from csl_gan_tpu.training import segment_runner
         return segment_runner.build_epochs_runner(
             self, use_dp, n_epochs, n_batches, mean_sample_fn, preprocess,
-            batch_sharding, assume_full_cadence)
+            batch_sharding, assume_full_cadence, grouped)
+
+    def grouped_runner_ok(self, use_dp: bool) -> bool:
+        """Whether the cadence-grouped runner (--group_fakes) applies to
+        this config: n_d_steps > 1 (otherwise there is nothing to batch),
+        no Poisson subsampling, BatchNorm-free G. The caller must
+        additionally guarantee its g_mask is the standard cadence pattern
+        and pass `start` as a Python int (segment_runner._build_grouped_run
+        docstring)."""
+        return (bool(opt_get(self.opt, "group_fakes", True))
+                and int(self.opt.n_d_steps) > 1
+                and not (self.poisson and use_dp)
+                and not self.g_has_bn)
 
     # ---------------- sampling (fixed-z grids, eval mode) ----------------
 
     @functools.partial(jax.jit, static_argnums=0)
-    def sample_images(self, state: TrainState, z, y):
+    def sample_images(self, state: TrainState, z, y, phase_cache=None):
+        """Eval-mode sampling (forward-only: uses the all-blocks gn4
+        variant). `phase_cache` — collapse_phase_kernels(g_params) computed
+        ONCE per checkpoint by the caller — skips the in-dispatch phase-
+        kernel collapse on every sampling batch (the serving-path analog
+        of --phase_carry; pure win on fixed params)."""
         variables = {"params": state.g_params}
+        if phase_cache:
+            variables["phase_cache"] = phase_cache
         if self.g_has_bn:
             variables["batch_stats"] = state.g_batch_stats
-        return self.G.apply(variables, z, y, train=False)
+        return self.G_fwd.apply(variables, z, y, train=False)

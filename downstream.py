@@ -120,12 +120,16 @@ def main(argv=None):
         state, _ = checkpoint.load_g(gpath, base_state)
 
         images = []
+        # Phase cache once per checkpoint (serving-path --phase_carry
+        # analog; params are fixed across the sampling batches).
+        pcache = builder.phase_collapse(state.g_params)
         for i in range(0, n, args.batch_size):
             zi = z[i:i + args.batch_size]
             yi = (None if not train_opt.conditional
                   else np.asarray(y[i:i + args.batch_size]))
             img = builder.sample_images(
-                state, zi, None if yi is None else jax.numpy.asarray(yi))
+                state, zi, None if yi is None else jax.numpy.asarray(yi),
+                pcache)
             images.append(np.asarray(jax.device_get(img)))
         images = np.concatenate(images).reshape(n, -1)
 

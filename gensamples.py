@@ -52,6 +52,12 @@ def main(argv=None):
     state, _ = checkpoint.load_g(path + "saves/G-" + str(args.epochs), state)
 
     key = jax.random.PRNGKey(0)
+    # Serving-path phase cache: the checkpoint's params are FIXED across
+    # every sampling batch, so the fused upsample-conv kernel collapse
+    # (a weight-only transform) runs ONCE here instead of inside every
+    # dispatch — the serving analog of --phase_carry. None for models
+    # without phase convs.
+    pcache = builder.phase_collapse(state.g_params)
     # Full batches are generated (one jit shape), then trimmed to exactly
     # num_samples (the reference drops the remainder: gensamples.py:29).
     n_batches = -(-args.num_samples // args.batch_size)
@@ -60,7 +66,8 @@ def main(argv=None):
         kz, ky, key = jax.random.split(jax.random.fold_in(key, i), 3)
         z = builder.gen_z(kz, args.batch_size)
         y = builder.gen_y(ky, args.batch_size)
-        imgs = np.asarray(jax.device_get(builder.sample_images(state, z, y)))
+        imgs = np.asarray(jax.device_get(
+            builder.sample_images(state, z, y, pcache)))
         if train_opt.dataset == "CelebA":
             imgs = denorm_celeba(imgs)
         for k in range(imgs.shape[0]):

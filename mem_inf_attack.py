@@ -180,12 +180,15 @@ def main(argv=None):
                                     f"G-{ckpt}", run_id)
             os.makedirs(fake_dir, exist_ok=True)
             count = 0
+            # Phase cache once per checkpoint (serving-path --phase_carry
+            # analog; params are fixed across the sampling batches).
+            pcache = builder.phase_collapse(state.g_params)
             for i in range(0, n, args.batch_size):
                 bs = min(args.batch_size, n - i)
                 z = builder.gen_z(jax.random.fold_in(key, i), bs)
                 yi = None if y_all is None else jnp.asarray(y_all[i:i + bs])
                 imgs = np.asarray(jax.device_get(
-                    builder.sample_images(state, z, yi)))
+                    builder.sample_images(state, z, yi, pcache)))
                 if opt.dataset == "CelebA":
                     imgs = denorm_celeba(imgs)
                 for k in range(len(imgs)):

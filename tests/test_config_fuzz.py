@@ -95,9 +95,30 @@ def _sample_argv(rng: random.Random):
         argv += ["-bpc", "true"]
     if rng.random() < 0.3:
         argv += ["--n_d_steps", "2", "--train_d_until_threshold", "0.5"]
+    elif rng.random() < 0.2:
+        # Cadence without threshold gating: the grouped fake-batching
+        # runner's primary operating point (the threshold case above also
+        # reaches it — grouping composes with gating).
+        argv += ["--n_d_steps", "3"]
     if dpm and rng.random() < 0.15:
         # Non-private warmup before DP training (loop.py warmup()).
         argv += ["--warmup_iter", "2"]
+    # Round-4/5 perf-path axes (each default-on; crossing them OFF against
+    # the other axes catches interactions their dedicated tests miss).
+    if rng.random() < 0.2:
+        argv += ["--phase_carry", "false"]
+    if rng.random() < 0.2:
+        argv += ["--phase_gn4", "false"]
+    elif rng.random() < 0.25:
+        argv += ["--phase_gn4_max_f", rng.choice(["64", "128", "0"])]
+    if rng.random() < 0.25:
+        argv += ["--group_fakes", "true"]   # measured-negative default-off
+    if rng.random() < 0.2:
+        argv += ["--bf16_table", "false"]
+    if rng.random() < 0.15:
+        argv += ["--stop_on_g_freeze", "2"]
+    if rng.random() < 0.15 and model != "Vanilla":
+        argv += ["--ref_pixel_shuffle", "true"]
     return argv
 
 
@@ -134,6 +155,18 @@ def _trace_config(argv, tmp_path, i):
         else (opt.im_size, opt.im_size, 3)
     f32, i32 = jnp.float32, jnp.int32
     images = jax.ShapeDtypeStruct((TSS, *im_shape), f32)
+    if opt.dataset == "MNIST":
+        # Flat device image table with packed label column, in the storage
+        # dtype the Trainer would choose (loop._setup_device_data):
+        # crosses --bf16_table with the other axes through gather_batch.
+        builder.img_shape = im_shape
+        builder.labels_in_table = True
+        flat = 1
+        for d in im_shape:
+            flat *= d
+        tdtype = jnp.bfloat16 if options.opt_get(opt, "bf16_table", True) \
+            else f32
+        images = jax.ShapeDtypeStruct((TSS, flat + 1), tdtype)
     labels = jax.ShapeDtypeStruct((TSS,), i32)
     perm = jax.ShapeDtypeStruct((TSS,), i32)
     g_mask = jax.ShapeDtypeStruct((3,), jnp.bool_)
@@ -153,6 +186,19 @@ def _trace_config(argv, tmp_path, i):
         use_dp=opt.use_dp, mean_sample_fn=mean_fn if use_mean else None)
     jax.eval_shape(runner, state, key, images, labels, perm, start,
                    g_mask, zero, zero)
+    if builder.grouped_runner_ok(opt.use_dp):
+        # The cadence-grouped fake-batching body (--group_fakes): trace the
+        # raw run with start bound to a concrete 0 (it is a static argument
+        # of the jitted runner, which eval_shape cannot express).
+        from csl_gan_tpu.training import segment_runner
+        g_run = segment_runner._build_grouped_run(
+            builder, opt.use_dp, mean_fn if use_mean else None, None, None)
+        n_d = max(1, int(opt.n_d_steps))
+        gm = jax.ShapeDtypeStruct((1 + n_d,), jnp.bool_)
+        jax.eval_shape(
+            lambda s, k, im, lb, pm, g, z1, z2: g_run(
+                s, k, im, lb, pm, 0, g, z1, z2),
+            state, key, images, labels, perm, gm, zero, zero)
     # The non-private path is reachable on DP configs only through warmup
     # (loop.py warmup(): warmup_iter > 0, default 0) — tracing it for every
     # DP config doubled the sweep cost for a path production never builds.
@@ -164,12 +210,14 @@ def _trace_config(argv, tmp_path, i):
     return "traced"
 
 
-# 120 cases run by default (~3 min after the round-3 trace speedups:
+# 140 cases run by default (~3 min after the round-3 trace speedups:
 # phase-conv einsum collapse 3x, warmup-gated plain trace ~1.7x — the full
-# 200 measured 46:33 -> 8:21 -> ~5 min across those changes); RUN_SLOW
-# extends to the full 200.
-N_DEFAULT = 120
-N_SLOW = 200
+# 200 measured 46:33 -> 8:21 -> ~5 min across those changes; round 5 added
+# the phase_carry/phase_gn4(_max_f)/group_fakes/bf16_table/ref_ps axes and
+# the grouped-runner trace, and widened the default from 120); RUN_SLOW
+# extends to the full 220.
+N_DEFAULT = 140
+N_SLOW = 220
 
 
 @pytest.mark.parametrize("i", range(N_DEFAULT))

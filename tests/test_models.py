@@ -250,3 +250,48 @@ def test_phase_deferred_norm_relu_equals_post_d2s():
     want = group_norm_relu(o_full, scale, bias, groups=32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_phase_gn4_max_f_per_call_site_policy(tmp_path):
+    """--phase_gn4_max_f: the per-block raw-4F cutoff applies at the
+    G-UPDATE call site only (builder.G), while the forward-only fake path
+    and sampling (builder.G_fwd) keep the all-blocks layout; both layouts
+    are value-preserving, so outputs agree across policies on the SAME
+    params."""
+    import jax
+    from csl_gan_tpu import options
+    from csl_gan_tpu.models.registry import init_models
+    from csl_gan_tpu.training.steps import TrainStepBuilder
+
+    base = ["MNIST", "--model", "DeepConvResNet", "--conditional",
+            "-dpm", "gc", "-bs", "4", "--manual_seed", "5",
+            "-o", str(tmp_path / "o")]
+    opt_cut = options.parse(base + ["--phase_gn4_max_f", "64"])
+    (G, Gv), (D, Dv) = init_models(opt_cut)
+    assert G.phase_gn4_max_f == 64
+    b_cut = TrainStepBuilder(opt_cut, G, D)
+    # Forward-only clone: all blocks (max_f disabled), same param tree.
+    assert b_cut.G_fwd.phase_gn4_max_f == -1
+    s_cut = b_cut.init_state(Gv, Dv)
+
+    opt_all = options.parse(base + ["-o", str(tmp_path / "p")])
+    (G2, Gv2), (D2, Dv2) = init_models(opt_all)
+    b_all = TrainStepBuilder(opt_all, G2, D2)
+    assert b_all.G_fwd is b_all.G  # default: no clone needed
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, opt_cut.g_latent_dim))
+    y = jax.random.randint(jax.random.PRNGKey(2), (4,), 0, 10)
+    # Same params through all three layout policies -> same images.
+    img_fwd = b_cut.G_fwd.apply({"params": s_cut.g_params}, z, y,
+                                train=True)
+    img_cut = b_cut.G.apply({"params": s_cut.g_params}, z, y, train=True)
+    img_all = b_all.G.apply({"params": s_cut.g_params}, z, y, train=True)
+    np.testing.assert_allclose(np.asarray(img_fwd), np.asarray(img_cut),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(img_fwd), np.asarray(img_all),
+                               rtol=1e-6, atol=1e-6)
+
+    # Round-trips through opt.txt (resume/tool compatibility).
+    options.save_opt(opt_cut, str(tmp_path / "opt.txt"))
+    re = options.load_opt(str(tmp_path / "opt.txt"))
+    assert re.phase_gn4_max_f == 64
