@@ -1118,7 +1118,7 @@ class TrainStepBuilder:
         additionally guarantee its g_mask is the standard cadence pattern
         and pass `start` as a Python int (segment_runner._build_grouped_run
         docstring)."""
-        return (bool(opt_get(self.opt, "group_fakes", True))
+        return (bool(opt_get(self.opt, "group_fakes", False))
                 and int(self.opt.n_d_steps) > 1
                 and not (self.poisson and use_dp)
                 and not self.g_has_bn)

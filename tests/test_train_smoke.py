@@ -160,3 +160,22 @@ def test_stop_on_g_freeze(tmp_path):
     out2 = str(tmp_path / "nofreeze")
     train_cli.main([*base, "-o", out2])
     assert len(rows(out2)) == 6         # reference parity: runs to n_epochs
+
+
+def test_group_fakes_trainer_end_to_end(tmp_path):
+    """--group_fakes true through the real Trainer CLI (grouped segment
+    runner selected for cadence-aligned segments): trains, logs, saves."""
+    import csv
+
+    import train as train_cli
+    out = str(tmp_path / "grouped")
+    train_cli.main(["MNIST", "-tss", "200", "-ne", "2", "-bs", "50",
+                    "--manual_seed", "5", "--n_d_steps", "2",
+                    "--group_fakes", "true", "--log_every", "200",
+                    "--sample_every", "100000", "--save_every", "2",
+                    "-o", out])
+    with open(out + "/log.csv") as f:
+        rows = list(csv.reader(f))
+    assert len(rows) >= 3 and float(rows[1][2]) != 0.0
+    import os
+    assert os.path.exists(out + "/saves/G-2")
