@@ -82,8 +82,16 @@ def test_groupnorm_fused_matches_fallback():
                                        rtol=tol, atol=tol)
 
             def loss(fn, x, s, b):
-                y = fn(x, s, b)
-                return jnp.sum(jnp.sin(y.astype(jnp.float32) * 0.7))
+                # Smooth probe: grad wrt y is (0.1*y + 0.3), so one-ulp
+                # bf16 forward agreement stays one-ulp in the cotangent.
+                # (A previous sin(0.7*y) probe was OSCILLATORY at the
+                # distribution tail: at y ~ 11 a one-bf16-ulp forward
+                # difference (0.0625) moves cos(0.7y) by ~0.04, turning
+                # ulp-level forward agreement into O(0.1) x-grad
+                # "mismatches" on ~1e-5 of elements — a property of the
+                # probe, not the kernels.)
+                y = fn(x, s, b).astype(jnp.float32)
+                return jnp.sum(0.05 * y * y + 0.3 * y)
 
             gp = jax.grad(lambda x, s, b: loss(
                 lambda *a: pgn.group_norm_relu(*a, 32), x, s, b),
