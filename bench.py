@@ -90,8 +90,9 @@ def bench_jax() -> float:
 
 
 def _celeba_d_loop(builder, x, y, n_iters):
-    """The CelebA D-step scan, production-shaped: with --group_fakes (the
-    default, builder.grouped_runner_ok), the fresh fakes of each
+    """The CelebA D-step scan, production-shaped: with --group_fakes
+    (OPT-IN; measured negative on v5e — RESULTS.md round 5 — so the
+    default measures the per-step path), the fresh fakes of each
     n_d_steps cadence group are generated in ONE batched G forward and the
     group's D steps consume slices — exactly what the grouped segment
     runner does between G updates (segment_runner._build_grouped_run); the
@@ -105,7 +106,14 @@ def _celeba_d_loop(builder, x, y, n_iters):
     from csl_gan_tpu.training.steps import key_rows
 
     n_d = max(1, int(builder.opt.n_d_steps))
-    grouped = builder.grouped_runner_ok(True) and n_iters % n_d == 0
+    grouped = builder.grouped_runner_ok(True)
+    if grouped:
+        # A silent fallback here would measure A vs A in an intended
+        # grouped-vs-ungrouped A/B (the exact pitfall class bench.py --ab
+        # exists to prevent) — fail loudly instead.
+        assert n_iters % n_d == 0, (
+            f"grouped D-step bench needs n_iters ({n_iters}) divisible "
+            f"by n_d_steps ({n_d})")
 
     def loop(st, key):
         pcache = builder.phase_collapse(st.g_params)

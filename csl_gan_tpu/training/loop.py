@@ -299,16 +299,26 @@ class Trainer:
             # cache) measured slightly FASTER in natural layout; kept as-is.
             img_shape = imgs.shape[1:]
             flatten = imgs.ndim > 2 and dtype == jnp.float32
-            if flatten and opt_get(self.opt, "u8_table", False) \
-                    and self.opt.n_classes <= 255:
+            want_u8 = opt_get(self.opt, "u8_table", False)
+            u8_ok = flatten and want_u8 and self.opt.n_classes <= 255
+            if want_u8 and not u8_ok:
+                # A requested-but-inapplicable --u8_table must be LOUD:
+                # opt.txt records the flag, so a silent fallback would make
+                # runs look uint8-stored when they were not.
+                print("--u8_table requested but not applicable to this "
+                      "dataset (needs a float image table and <=255 "
+                      "classes); falling back to the default storage.")
+            if u8_ok:
                 # --u8_table: pixels stored x255 as uint8 with the label in
                 # a trailing u8 column — half the gather bytes of
                 # --bf16_table. gather_batch dequantizes u8/255 in fp32
                 # (the loader's own math, data/mnist.py:128), so u8-derived
-                # pixels round-trip BIT-exactly; anything else quantizes to
-                # 1/255 steps (announced below). No one-hot columns: the
-                # Pallas megakernel consumes float rows and is auto-gated
-                # off via onehot_in_table.
+                # pixels round-trip to <= 1 ulp (XLA lowers the /255 as a
+                # reciprocal multiply); anything else quantizes to 1/255
+                # steps (announced below). No one-hot columns: the Pallas
+                # megakernel consumes float rows and is auto-gated off via
+                # onehot_in_table. The shared gather/perm setup below is
+                # reused — only the table contents/dtype differ.
                 flat = imgs.reshape(len(imgs), -1)
                 p255 = flat * 255.0
                 if not (np.all(p255 == np.rint(p255)) and p255.min() >= 0
@@ -318,33 +328,15 @@ class Trainer:
                           "steps (same order as source u8 quantization).")
                 else:
                     print("Device image table stored uint8 (--u8_table), "
-                          "bit-exact dequant u8/255 after the gather.")
-                rows = np.concatenate(
+                          "<=1-ulp dequant u8/255 after the gather.")
+                imgs = np.concatenate(
                     [np.rint(np.clip(p255, 0, 255)).astype(np.uint8),
                      np.asarray(self.dataset.labels,
                                 np.uint8).reshape(-1, 1)], axis=1)
+                dtype = jnp.uint8
                 self.builder.img_shape = img_shape
                 self.builder.labels_in_table = True
-                self._dev_data = (
-                    self.mesh.put_replicated(jnp.asarray(rows, jnp.uint8)),
-                    self.mesh.put_replicated(
-                        jnp.asarray(self.dataset.labels, jnp.int32)))
-                self._gather = jax.jit(lambda im, lb, idx: (im[idx],
-                                                            lb[idx]))
-                bs = self.opt.batch_size
-
-                def gather_next_u8(im, lb, perm, counter):
-                    idx = jax.lax.dynamic_slice(perm, (counter * bs,),
-                                                (bs,))
-                    x, yy = self.builder.gather_batch(im, lb, idx)
-                    return x, yy, counter + 1
-
-                self._gather_next = jax.jit(gather_next_u8)
-                self._perm = jax.jit(
-                    lambda key: jax.random.permutation(key,
-                                                       len(self.dataset)))
-                return self._setup_aux_device_data()
-            if flatten:
+            elif flatten:
                 imgs = imgs.reshape(len(imgs), -1)
                 self.builder.img_shape = img_shape
                 # Pack the label as a trailing f32 column: one row gather

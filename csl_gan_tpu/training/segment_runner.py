@@ -62,7 +62,8 @@ def _reshape_keys(keys, shape):
 
 def build_segment_runner(builder, use_dp: bool, mean_sample_fn=None,
                          preprocess=None, batch_sharding=None,
-                         assume_full_cadence=False, grouped=False):
+                         assume_full_cadence=False, grouped=False,
+                         grouped_p=0):
     """One jitted lax.scan over a whole logging interval of batches.
 
     `assume_full_cadence=True` (caller guarantees g_mask is all-True and
@@ -72,9 +73,13 @@ def build_segment_runner(builder, use_dp: bool, mean_sample_fn=None,
 
     `grouped=True` (--group_fakes; caller guarantees the cadence contract,
     see _build_grouped_run) restructures the scan around n_d_steps cadence
-    groups and generates each group's fresh fakes in ONE batched G forward;
-    `start` then becomes a STATIC argument (the group decomposition depends
-    on it).
+    groups and generates each group's fresh fakes in ONE batched G forward.
+    Only the cadence PHASE of the segment start (`grouped_p` = start %
+    n_d_steps, default 0 — every grouped call site loop.py makes) is baked
+    statically; `start` itself stays a traced operand, so distinct starts
+    with the same phase and length share one compile (a static start would
+    recompile the scan-wrapped DCResNet body, ~3 min on the relay, per
+    logging cut).
 
     Returns f(state, rng, images, labels, perm, start, g_mask, mean_samples,
     d_loss_acc, acc_in=None, epoch=0) -> (state, rng, d_metric_sums,
@@ -93,8 +98,8 @@ def build_segment_runner(builder, use_dp: bool, mean_sample_fn=None,
     """
     if grouped:
         run = _build_grouped_run(builder, use_dp, mean_sample_fn, preprocess,
-                                 batch_sharding)
-        return jax.jit(run, static_argnums=(5,), donate_argnums=(0,))
+                                 batch_sharding, grouped_p)
+        return jax.jit(run, donate_argnums=(0,))
     run = _build_run(builder, use_dp, mean_sample_fn, preprocess,
                      batch_sharding, assume_full_cadence)
     return jax.jit(run, donate_argnums=(0,))
@@ -126,7 +131,7 @@ def build_epochs_runner(builder, use_dp: bool, n_epochs: int, n_batches: int,
     """
     if grouped:
         run = _build_grouped_run(builder, use_dp, mean_sample_fn,
-                                 preprocess, batch_sharding)
+                                 preprocess, batch_sharding, 0)
     else:
         run = _build_run(builder, use_dp, mean_sample_fn, preprocess,
                          batch_sharding, assume_full_cadence)
@@ -329,7 +334,7 @@ def _build_run(builder, use_dp: bool, mean_sample_fn, preprocess,
 
 
 def _build_grouped_run(builder, use_dp: bool, mean_sample_fn, preprocess,
-                       batch_sharding):
+                       batch_sharding, p: int = 0):
     """Cadence-grouped segment body (--group_fakes): one batched fresh-fake
     G forward per n_d_steps cadence group.
 
@@ -349,12 +354,14 @@ def _build_grouped_run(builder, use_dp: bool, mean_sample_fn, preprocess,
     ((start + i) % n_d_steps == 0) — the mask VALUES are not read here,
     only its static length; n_d_steps > 1; no Poisson subsampling
     (variable batch occupancy); BatchNorm-free G (BN batch stats are not
-    batch-size-invariant). `start` must be a concrete Python int at trace
-    time (the head/group/tail decomposition depends on it);
-    build_segment_runner jits it as a static argument.
+    batch-size-invariant). `start` is a traced operand; the builder bakes
+    only its cadence PHASE `p` = start % n_d (the head/group/tail
+    decomposition depends on p and the mask length, nothing else) — the
+    caller must pass starts consistent with the built p.
 
     Segment decomposition for a segment of n batches starting at global
-    batch index `start` (p = (-start) % n_d is the first cadence point):
+    batch index `start` (first cadence point at local (-start) % n_d =
+    (-p) % n_d):
       head:  D_0..D_p, then the cadence-point G update  (p+1 steps)
       K = (n-p-1) // n_d full groups: n_d D steps + G update each
       tail:  r = (n-p-1) % n_d trailing D steps (contains no cadence point)
@@ -373,13 +380,13 @@ def _build_grouped_run(builder, use_dp: bool, mean_sample_fn, preprocess,
     if builder.g_has_bn:
         raise ValueError("grouped runner requires a BatchNorm-free G")
 
+    first_cad = (-p) % n_d  # local index of the first cadence point
+
     def run(state, rng, images, labels, perm, start, g_mask, mean_samples,
             d_loss_acc, acc_in=None, epoch=0):
-        start = int(start)  # static (build_segment_runner static_argnums)
         perm = _resolve_perm(perm, images.shape[0], epoch)
         n = g_mask.shape[0]
-        p = (-start) % n_d
-        head = min(p + 1, n)
+        head = min(first_cad + 1, n)
         K = (n - head) // n_d
         r = (n - head) % n_d
 
@@ -521,7 +528,7 @@ def _build_grouped_run(builder, use_dp: bool, mean_sample_fn, preprocess,
         state, d_acc, d_sum, s_min, s_max = d_block(
             state, d_acc, d_sum, s_min, s_max, pcache, X, Y, FAKES,
             head_keys)
-        if p < n:
+        if first_cad < n:
             state, pcache, d_acc, g_sum, g_n = g_boundary(
                 state, pcache, d_acc, step_keys[head - 1], g_sum, g_n)
 

@@ -26,7 +26,6 @@ per-sample-grad sums then become XLA psums over ICI (SURVEY.md §5.8).
 from __future__ import annotations
 
 import functools
-import os
 from typing import Any, Optional
 
 import jax
@@ -1092,14 +1091,15 @@ class TrainStepBuilder:
 
     def build_segment_runner(self, use_dp: bool, mean_sample_fn=None,
                              preprocess=None, batch_sharding=None,
-                             assume_full_cadence=False, grouped=False):
+                             assume_full_cadence=False, grouped=False,
+                             grouped_p=0):
         """One jitted lax.scan over a whole logging interval of batches
         (moved to training/segment_runner.py; kept here as the public
         entry point)."""
         from csl_gan_tpu.training import segment_runner
         return segment_runner.build_segment_runner(
             self, use_dp, mean_sample_fn, preprocess, batch_sharding,
-            assume_full_cadence, grouped)
+            assume_full_cadence, grouped, grouped_p)
 
     def build_epochs_runner(self, use_dp: bool, n_epochs: int,
                             n_batches: int, mean_sample_fn=None,

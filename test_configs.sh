@@ -4,10 +4,14 @@
 # runs as pytest (tests/test_train_smoke.py) with exit codes checked.
 set -x
 
+# 600s: a COLD CelebA compile through the TPU relay can exceed 300s in bad
+# relay periods (the persistent compilation cache makes reruns fast); a
+# timeout still exits cleanly — the trainer's SIGTERM handler checkpoints
+# and exits gracefully (tests/test_preempt.py).
 for ds in MNIST CelebA; do
     for dpm in gc is; do
         for cond in "" "--conditional"; do
-            timeout 300s python3 train.py $ds -tss 1000 -ne 1 -dpm $dpm -nms 1 \
+            timeout 600s python3 train.py $ds -tss 1000 -ne 1 -dpm $dpm -nms 1 \
                 --mean_sample_size 10 $cond -o /tmp/smoke-$ds-$dpm${cond:+-cond} \
                 || echo "FAILED: $ds $dpm $cond"
         done

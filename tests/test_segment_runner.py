@@ -621,7 +621,8 @@ def test_grouped_start_offset_and_tail(tmp_path):
         su, _, du, gu, cu, _ = r_u(s1, rng, images, labels, perm, start,
                                    g_mask, jnp.zeros(()), jnp.zeros(()))
         _, b2, s2 = setup(tmp_path, *argv)
-        r_g = b2.build_segment_runner(use_dp=True, grouped=True)
+        r_g = b2.build_segment_runner(use_dp=True, grouped=True,
+                                      grouped_p=start % 3)
         sg, _, dg, gg, cg, _ = r_g(s2, rng, images, labels, perm, start,
                                    g_mask, jnp.zeros(()), jnp.zeros(()))
         assert int(cu) == int(cg) == 2, f"start={start}"
