@@ -7,7 +7,11 @@ set -x
 # 600s: a COLD CelebA compile through the TPU relay can exceed 300s in bad
 # relay periods (the persistent compilation cache makes reruns fast); a
 # timeout still exits cleanly — the trainer's SIGTERM handler checkpoints
-# and exits gracefully (tests/test_preempt.py).
+# and exits gracefully (tests/test_preempt.py). In DEGRADED relay periods
+# even tiny MNIST configs can stall minutes in dispatch waits (measured:
+# 7m52 wall / 12s CPU for a 1-epoch tss=1000 run) — a FAILED marker then
+# reflects the link, not the config; the exit-code-checked smoke matrix
+# is tests/test_train_smoke.py (CPU).
 for ds in MNIST CelebA; do
     for dpm in gc is; do
         for cond in "" "--conditional"; do
